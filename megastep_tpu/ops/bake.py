@@ -1,0 +1,137 @@
+"""Light baking: per-texel illumination with hard shadows.
+
+Counterpart of the reference baking kernel and ``light_intensity`` device function
+(``/root/reference/megastep/src/kernels.cu:232-293``): each texel center accumulates
+``LUMINANCE * intensity / max(d^2, 1)`` from every light that has unobstructed
+line-of-sight (occlusion tested against *static* lines only), plus 0.1 ambient,
+clamped to 1.
+
+Two uses:
+  * :func:`bake` — one-time static bake at scene build, driven from the host in env
+    chunks to bound peak memory;
+  * :func:`dynamic_texel_intensity` — per-step re-bake of the agent-model texels
+    (the first ``n_dynamic_texels`` of every env), giving moving agents live
+    lighting. The reference instead evaluates lighting at the exact hit point for
+    dynamic lines (``kernels.cu:432-439``); re-baking texel centers gives the same
+    filtered appearance through one uniform shader path — a deliberate TPU-first
+    unification (texel res is 5 cm and agent edges are ~6 cm, so the differences are
+    sub-texel).
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+from . import geom
+
+
+def texel_points(lines, tex_line, line_tex_starts, line_tex_widths, t0, T):
+    """World coordinates of texel centers ``t0 : t0+T`` for every env.
+
+    :param lines: (N, L, 2, 2) line array to read geometry from.
+    :param tex_line: (N, Tmax) owning line of each texel.
+    :return: (N, T, 2) texel centers.
+    """
+    tl = jax.lax.dynamic_slice_in_dim(tex_line, t0, T, axis=1)            # (N, T)
+    starts = jnp.take_along_axis(line_tex_starts, tl, 1)
+    widths = jnp.take_along_axis(line_tex_widths, tl, 1)
+    t_idx = t0 + jnp.arange(T)[None]
+    loc = (t_idx - starts + .5) / jnp.maximum(widths, 1)
+    a = jnp.take_along_axis(lines[..., 0, :], tl[..., None], 1)           # (N, T, 2)
+    b = jnp.take_along_axis(lines[..., 1, :], tl[..., None], 1)
+    return a * (1 - loc[..., None]) + b * loc[..., None]
+
+
+def intensity_at(points, lines, lines_width, n_dynamic, lights, lights_width,
+                 chunk=64):
+    """Light intensity at each query point, with hard-shadow occlusion.
+
+    :param points: (N, P, 2) query points.
+    :param lines: (N, L, 2, 2); only slots ``n_dynamic <= l < lines_width`` occlude.
+    :param lights: (N, K, 3) — x, y, intensity.
+    :return: (N, P) intensities in [0, 1].
+    """
+    N, P, _ = points.shape
+    K = lights.shape[1]
+    L = lines.shape[1]
+
+    I = lights[:, None, :, :2]                                            # (N, 1, K, 2)
+    Ii = lights[:, None, :, 2]                                            # (N, 1, K)
+    C = points[:, :, None]                                                # (N, P, 1, 2)
+    U = C - I                                                             # (N, P, K, 2)
+
+    light_idx = jnp.arange(K)[None, None]
+    light_live = light_idx < lights_width[:, None, None]                  # (N, 1, K)
+
+    # Occlusion: scan static lines in chunks, accumulating "any obstruction".
+    n_chunks = -(-L // chunk)
+    Lpad = n_chunks * chunk
+    lines_p = jnp.pad(lines, ((0, 0), (0, Lpad - L), (0, 0), (0, 0)))
+    lines_c = lines_p.reshape(N, n_chunks, chunk, 2, 2).transpose(1, 0, 2, 3, 4)
+
+    def body(carry, args):
+        obstructed = carry
+        seg, c0 = args
+        a = seg[:, None, None, :, 0]                                      # (N,1,1,c,2)
+        v = seg[:, None, None, :, 1] - a
+        s, t = geom.intersect(I[..., None, :], U[..., None, :], a, v)     # (N,P,K,c)
+        l_idx = c0 + jnp.arange(chunk)[None, None, None]
+        static = (l_idx >= n_dynamic) & (l_idx < lines_width[:, None, None, None])
+        blocked = (t > 0.) & (t < 1.) & (s > 0.) & (s < .999) & static
+        return obstructed | blocked.any(-1), None
+
+    chunk_starts = jnp.arange(n_chunks) * chunk
+    obstructed0 = jnp.zeros((N, P, K), bool)
+    obstructed, _ = jax.lax.scan(body, obstructed0, (lines_c, chunk_starts))
+
+    d2 = ((I - C)**2).sum(-1)                                             # (N, P, K)
+    contrib = constants.LUMINANCE * Ii / jnp.maximum(d2, 1.)
+    lit = (~obstructed) & light_live
+    total = constants.AMBIENT + jnp.where(lit, contrib, 0.).sum(-1)
+    return jnp.minimum(total, 1.)
+
+
+@partial(jax.jit, static_argnames=('n_dynamic', 't0', 'T'))
+def _bake_chunk(lines, lines_width, lights, lights_width, tex_line,
+                line_tex_starts, line_tex_widths, n_dynamic, t0, T):
+    C = texel_points(lines, tex_line, line_tex_starts, line_tex_widths, t0, T)
+    return intensity_at(C, lines, lines_width, n_dynamic, lights, lights_width)
+
+
+def bake(scenery, env_chunk=512, tex_chunk=512):
+    """Bakes static illumination into ``scenery.baked``.
+
+    Host-driven in (env, texel) chunks so that peak device memory stays bounded at
+    any env count; the one-time cost at scene build mirrors the reference's
+    ``cuda.bake`` (``kernels.cu:286-293``). Padded texels keep the reference's
+    initialize-to-ones convention.
+    """
+    N, Tmax = scenery.baked.shape
+    baked = np.ones((N, Tmax), np.float32)
+    for n0 in range(0, N, env_chunk):
+        n1 = min(n0 + env_chunk, N)
+        for t0 in range(0, Tmax, tex_chunk):
+            T = min(tex_chunk, Tmax - t0)
+            vals = _bake_chunk(
+                scenery.lines[n0:n1], scenery.lines_width[n0:n1],
+                scenery.lights[n0:n1], scenery.lights_width[n0:n1],
+                scenery.tex_line[n0:n1], scenery.line_tex_starts[n0:n1],
+                scenery.line_tex_widths[n0:n1],
+                scenery.n_dynamic, t0, T)
+            baked[n0:n1, t0:t0 + T] = np.asarray(vals)
+    # Padding texels (beyond each env's true width) stay at 1.
+    mask = np.arange(Tmax)[None] < np.asarray(scenery.tex_width)[:, None]
+    baked = np.where(mask, baked, 1.).astype(np.float32)
+    return scenery.replace(baked=jnp.asarray(baked))
+
+
+def dynamic_texel_intensity(scenery, lines_now):
+    """Live illumination of the dynamic (agent-model) texels, given the current
+    drawn line array. Returns (N, n_dynamic_texels)."""
+    T = scenery.n_dynamic_texels
+    C = texel_points(lines_now, scenery.tex_line, scenery.line_tex_starts,
+                     scenery.line_tex_widths, 0, T)
+    return intensity_at(C, lines_now, scenery.lines_width, scenery.n_dynamic,
+                        scenery.lights, scenery.lights_width)

@@ -1,0 +1,168 @@
+"""The 1-D raycast renderer: draw, raycast, shade.
+
+TPU-native counterpart of the reference render pipeline (``/root/reference/megastep/
+src/kernels.cu:297-475``): the three CUDA kernels (draw agent models into the line
+array; brute-force nearest-hit raycast per pixel; texture-filtered Lambert shader)
+become pure jnp array programs over the whole (env, agent, pixel) batch, with the
+min-reduction over lines left to XLA to fuse so the (N, A, R, L) intersection
+intermediates never materialize in HBM.
+
+Nearest-hit semantics: the CUDA kernel scans lines sequentially and only replaces the
+incumbent when a hit is closer by more than 1e-4 (z-fighting suppression,
+``kernels.cu:369``). Here that is expressed reduction-style: take the minimum hit
+distance, then the *lowest-indexed* line within 1e-4 of it. The two agree except on
+pathological chains of 3+ mutually-within-tolerance coincident lines.
+"""
+import jax
+import jax.numpy as jnp
+
+from .. import constants
+from ..arrdict import arrdict
+from . import geom, bake
+
+Z_TOLERANCE = 1e-4
+
+
+def ray_y(res, dtype=jnp.float32):
+    """Screen-space y coordinate of each of the ``res`` rays before FOV scaling
+    (``kernels.cu:234-236`` without the half-screen factor)."""
+    r = jnp.arange(res, dtype=dtype)
+    return (res - 2 * r - 1) / res
+
+
+def draw(scenery, agents):
+    """Writes the rotated+translated agent models into the dynamic head slots of the
+    line array (``draw_kernel``, ``kernels.cu:297-318``). Returns the full (N, L, 2, 2)
+    line array for this frame."""
+    # (N, A, 1, 1, 2) poses against (M, 2, 2) model.
+    rotated = geom.rotate(agents.angles[..., None, None], scenery.model)
+    dyn = rotated + agents.positions[:, :, None, None, :]
+    N = dyn.shape[0]
+    dyn = dyn.reshape(N, scenery.n_dynamic, 2, 2)
+    return scenery.lines.at[:, :scenery.n_dynamic].set(dyn)
+
+
+def raycast(lines_now, lines_width, angles, positions, res, half_screen_width,
+            agent_radius):
+    """Nearest-hit raycast of every (env, agent, pixel) against every line
+    (``raycast_kernel``, ``kernels.cu:326-383``).
+
+    :return: arrdict with ``indices`` (line id or -1), ``locations`` (hit fraction
+        along the line, NaN if none), ``dots`` (normalized ray·line, NaN if none),
+        ``distances`` (meters, +inf if none) — all (N, A, R).
+    """
+    N, A = angles.shape
+    L = lines_now.shape[1]
+
+    # Rays in the global frame.
+    uy = half_screen_width * ray_y(res)                                   # (R,)
+    a = jnp.pi / 180 * angles
+    c, s = jnp.cos(a)[..., None], jnp.sin(a)[..., None]                   # (N, A, 1)
+    ru = jnp.stack([c - s * uy, s + c * uy], -1)                          # (N, A, R, 2)
+    rlen = geom.length(ru)
+
+    p = positions[:, :, None, None, :]                                    # (N, A, 1, 1, 2)
+    u = ru[:, :, :, None, :]                                              # (N, A, R, 1, 2)
+    la = lines_now[:, None, None, :, 0, :]                                # (N, 1, 1, L, 2)
+    lv = lines_now[:, None, None, :, 1, :] - la
+
+    sq, tq = geom.intersect(p, u, la, lv)                                 # (N, A, R, L)
+    near = agent_radius / rlen
+    live = (jnp.arange(L)[None, None, None] < lines_width[:, None, None, None])
+    valid = (0 <= tq) & (tq <= 1) & (near[..., None] < sq) & live
+
+    s_masked = jnp.where(valid, sq, jnp.inf)
+    s_min = s_masked.min(-1)                                              # (N, A, R)
+    eligible = valid & (sq < s_min[..., None] + Z_TOLERANCE)
+    idx = jnp.argmax(eligible, -1).astype(jnp.int32)                      # first eligible
+    found = eligible.any(-1)
+
+    # Recompute the intersection for the selected line only (cheap third pass).
+    flat = lines_now.reshape(N, L, 4)
+    sel = jnp.take_along_axis(flat, idx.reshape(N, A * res, 1), 1)
+    sel = sel.reshape(N, A, res, 2, 2)
+    sa, sv = sel[..., 0, :], sel[..., 1, :] - sel[..., 0, :]
+    s_sel, t_sel = geom.intersect(p[..., 0, :], ru, sa, sv)
+    dot_sel = geom.dot(ru, sv) / (rlen * geom.length(sv) + 1e-6)
+
+    nan = jnp.float32(jnp.nan)
+    return arrdict(
+        indices=jnp.where(found, idx, -1),
+        locations=jnp.where(found, t_sel, nan),
+        dots=jnp.where(found, dot_sel, nan),
+        distances=jnp.where(found, s_sel, jnp.inf) * rlen)
+
+
+def tex_filter(loc, width):
+    """The reference's two-tap linear texture filter (``kernels.cu:394-405``).
+
+    :return: (l, r, lw, rw) — integer texel offsets within the line and their weights.
+    """
+    w = width.astype(loc.dtype)
+    y = jnp.minimum(loc * (w + 1), w - 1)
+    l = jnp.maximum(y - 1, 0.).astype(jnp.int32)
+    r = jnp.minimum(y, w - 1).astype(jnp.int32)
+    ld = jnp.abs(y - (l + 1)) + 1e-3
+    rd = jnp.abs(y - (r + 1)) + 1e-3
+    return l, r, rd / (ld + rd), ld / (ld + rd)
+
+
+def _gather_per_env(arr, idx):
+    """Gathers ``arr[n, idx[n, ...]]`` for (N, T[, C]) arr and (N, ...) idx."""
+    N = arr.shape[0]
+    flat_idx = idx.reshape(N, -1)
+    if arr.ndim == 3:
+        out = jnp.take_along_axis(arr, flat_idx[..., None], 1)
+        return out.reshape(*idx.shape, arr.shape[-1])
+    return jnp.take_along_axis(arr, flat_idx, 1).reshape(idx.shape)
+
+
+def shade(scenery, rc, baked_now):
+    """Texture lookup + lighting + Lambert shading per pixel (``shader_kernel``,
+    ``kernels.cu:407-450``). Returns the (N, A, R, 3) linear-RGB screen; misses are
+    black."""
+    hit = rc.indices >= 0
+    idx = jnp.maximum(rc.indices, 0)
+    loc = jnp.where(hit, rc.locations, .5)
+
+    width = _gather_per_env(scenery.line_tex_widths, idx)
+    start = _gather_per_env(scenery.line_tex_starts, idx)
+    l, r, lw, rw = tex_filter(loc, width)
+
+    tex_l = _gather_per_env(scenery.textures, start + l)                  # (N, A, R, 3)
+    tex_r = _gather_per_env(scenery.textures, start + r)
+    intensity = lw * _gather_per_env(baked_now, start + l) + \
+        rw * _gather_per_env(baked_now, start + r)
+
+    lambert = 1 - jnp.where(hit, rc.dots, 0.)**2
+    shadefac = (lambert * intensity)[..., None]
+    color = lw[..., None] * tex_l + rw[..., None] * tex_r
+    return jnp.where(hit[..., None], shadefac * color, 0.)
+
+
+def render(scenery, agents, res, half_screen_width, agent_radius,
+           rebake_dynamic=None):
+    """Full render pass: draw agent models, raycast, re-light dynamic texels, shade
+    (counterpart of the ``render()`` host orchestration, ``kernels.cu:452-475``).
+
+    :param rebake_dynamic: whether to re-bake live lighting of the agent-model
+        texels this frame. Defaults to ``n_agents > 1`` — with a single agent the
+        camera near plane hides the agent's own model, so its lighting is never
+        sampled.
+    :return: arrdict of ``indices/locations/dots/distances`` (N, A, R) and
+        ``screen`` (N, A, R, 3).
+    """
+    lines_now = draw(scenery, agents)
+    rc = raycast(lines_now, scenery.lines_width, agents.angles, agents.positions,
+                 res, half_screen_width, agent_radius)
+
+    if rebake_dynamic is None:
+        rebake_dynamic = scenery.n_agents > 1
+    if rebake_dynamic:
+        dyn = bake.dynamic_texel_intensity(scenery, lines_now)
+        baked_now = scenery.baked.at[:, :scenery.n_dynamic_texels].set(dyn)
+    else:
+        baked_now = scenery.baked
+
+    rc['screen'] = shade(scenery, rc, baked_now)
+    return rc
