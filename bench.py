@@ -1,0 +1,89 @@
+"""Throughput benchmark: Explorer env-steps/s with random actions.
+
+Mirrors the reference's headline benchmark (Explorer at 180k FPS on an RTX 2080 Ti,
+``/root/reference/docs/index.rst:13-25``): render res 256 subsampled to 64-px
+RGB+depth+IMU observations, momentum movement, exploration reward — stepped in
+lockstep under one jit with on-device random actions.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is the multiple of the reference's 180k FPS.
+"""
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 180_000.
+
+
+def build(n_envs, res=256, subsample=4):
+    from megastep_tpu import floorplans
+    from megastep_tpu.envs import Explorer
+    geoms = floorplans.sample(min(n_envs, 512))
+    geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
+    return Explorer(n_envs, geometries=geoms, res=res, subsample=subsample)
+
+
+def bench(env, steps=64, reps=3):
+    key = jax.random.PRNGKey(0)
+    state, world = env.reset(key)
+
+    def body(carry, key_t):
+        state, world = carry
+        k_act, k_env = jax.random.split(key_t)
+        from megastep_tpu.arrdict import arrdict
+        actions = jax.random.randint(k_act, (env.n_envs, 1), 0, 7)
+        state, world = env.step(state, arrdict(actions=actions), k_env)
+        return (state, world), world.reward.sum()
+
+    @jax.jit
+    def run(carry, key):
+        return jax.lax.scan(body, carry, jax.random.split(key, steps))
+
+    # Compile + warm up.
+    carry = (state, world)
+    carry, _ = run(carry, key)
+    jax.block_until_ready(carry)
+
+    best = 0.
+    for i in range(reps):
+        t0 = time.perf_counter()
+        carry, r = run(carry, jax.random.fold_in(key, i))
+        jax.block_until_ready(r)
+        dt = time.perf_counter() - t0
+        best = max(best, env.n_envs * steps / dt)
+    return best
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--envs', type=int, default=16 * 1024)
+    p.add_argument('--res', type=int, default=256)
+    p.add_argument('--steps', type=int, default=64)
+    args = p.parse_args()
+
+    n_envs = args.envs
+    while n_envs >= 256:
+        try:
+            env = build(n_envs, res=args.res)
+            fps = bench(env, steps=args.steps)
+            break
+        except Exception as e:
+            import sys
+            print(f'failed at {n_envs} envs ({type(e).__name__}); halving',
+                  file=sys.stderr)
+            n_envs //= 2
+    else:
+        raise RuntimeError('bench failed at every env count')
+
+    print(json.dumps({
+        'metric': f'explorer_env_steps_per_s@{n_envs}',
+        'value': round(fps),
+        'unit': 'steps/s',
+        'vs_baseline': round(fps / BASELINE_FPS, 3)}))
+
+
+if __name__ == '__main__':
+    main()

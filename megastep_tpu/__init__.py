@@ -9,9 +9,23 @@ PPO/V-trace training stack, and experiment support under :mod:`megastep_tpu.reba
 """
 __version__ = '0.1.0'
 
+import importlib
+
 from . import constants, spaces, geometry, toys
 from .dotdict import dotdict
 from .arrdict import arrdict
 
 __all__ = ['constants', 'spaces', 'geometry', 'toys', 'dotdict', 'arrdict',
-           'core', 'scene', 'modules', 'ops', 'envs', 'cubicasa', 'plotting']
+           'core', 'scene', 'modules', 'ops', 'envs', 'models', 'demo',
+           'cubicasa', 'floorplans', 'plotting', 'rebar', 'parallel']
+
+_LAZY = {'core', 'scene', 'modules', 'ops', 'envs', 'models', 'demo',
+         'cubicasa', 'floorplans', 'plotting', 'rebar', 'parallel'}
+
+
+def __getattr__(name):
+    """Lazily imports the heavier subsystems (jax/flax-dependent) on first access,
+    keeping ``import megastep_tpu`` light."""
+    if name in _LAZY:
+        return importlib.import_module(f'.{name}', __name__)
+    raise AttributeError(f'module {__name__!r} has no attribute {name!r}')

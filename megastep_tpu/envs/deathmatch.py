@@ -1,0 +1,208 @@
+"""The Deathmatch environment: multi-agent combat with line-of-sight shooting.
+
+Counterpart of the reference ``megastep/demo/envs/deathmatch.py:21-170``: each of
+``n_envs // 4`` floorplans hosts ``n_agents`` agents; an agent "shoots" whichever
+opponents' body models appear in the middle two columns of its (downsampled) render;
+health/damage bookkeeping, an out-of-bounds penalty, and respawn-on-death. The env
+exposes ``n_envs = n_scenes * n_agents`` by reshaping every (scene, agent) pair into
+its own single-agent sub-env (``expand``/``collapse``, ``deathmatch.py:11-19``) —
+with padded arrays that is a pure reshape.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import core, cubicasa, modules, scene, spaces
+from ..arrdict import arrdict, jaxify, numpyify
+from ..dotdict import dotdict, mapping
+
+CLEARANCE = 1.
+
+
+@mapping
+def expand(x):
+    """(B, A, ...) -> (B*A, 1, ...): each (scene, agent) pair becomes a sub-env."""
+    B, A = x.shape[:2]
+    return x.reshape(B * A, 1, *x.shape[2:])
+
+
+def collapse(x, n_agents):
+    """(B*A, 1, ...) -> (B, A, ...): back to the scene-major layout."""
+    @mapping
+    def _collapse(v):
+        B = v.shape[0]
+        return v.reshape(B // n_agents, n_agents, *v.shape[2:])
+    return _collapse(x)
+
+
+class Deathmatch:
+    """Multi-agent combat (see module docstring).
+
+    :param n_envs: total sub-env count; there are ``n_envs // n_agents`` scenes.
+    :param n_agents: agents per scene.
+    """
+
+    def __init__(self, n_envs, n_agents=4, geometries=None, subsample=4, **kwargs):
+        n_scenes = max(n_envs // n_agents, 1)
+        geometries = cubicasa.sample(n_scenes) if geometries is None else geometries
+        scenery = scene.scenery(geometries, n_agents)
+        self.core = core.Core(scenery, res=kwargs.pop('res', 4 * 128),
+                              fov=kwargs.pop('fov', 70), **kwargs)
+        self._rgb = modules.RGB(self.core, n_agents=1, subsample=subsample)
+        self._depth = modules.Depth(self.core, n_agents=1, subsample=subsample)
+        self._imu = modules.IMU(self.core, n_agents=1)
+        self._movement = modules.MomentumMovement(self.core, n_agents=1)
+        self._spawner = modules.RandomSpawns(geometries, self.core)
+
+        self.action_space = self._movement.space
+        self.obs_space = dotdict(
+            rgb=self._rgb.space,
+            d=self._depth.space,
+            imu=self._imu.space,
+            health=spaces.MultiVector(1, 1))
+
+        self._bounds = jaxify(np.stack(
+            [np.array(g.masks.shape) * g.res for g in geometries]))
+
+        self.n_envs = self.core.n_envs * self.core.n_agents
+
+    def _respawn(self, agents, health, damage, reset, key):
+        agents = self._spawner(agents, reset, key)
+        health = jnp.where(reset, 1., health)
+        damage = jnp.where(reset, 0., damage)
+        return agents, health, damage
+
+    def _shoot(self, agents, health, damage, opponents):
+        """Matches shooters to targets via the middle two columns of the opponent-id
+        image, applies damage/wounds/out-of-bounds penalties
+        (reference ``deathmatch.py:54-72``).
+
+        :return: ``(health, damage, matchings, hits)``.
+        """
+        res = opponents.shape[-1]
+        middle = slice(res // 2 - 1, res // 2 + 1)
+        A = self.core.n_agents
+        ids = jnp.arange(A)
+        # opponents: (N, A, 1, res); matchings: (N, shooter, target)
+        matchings = (opponents[:, :, None] == ids[None, None, :, None, None])
+        matchings = matchings[..., middle].any(-1).any(-1)
+
+        hits = matchings.sum(2).astype(jnp.float32)
+        wounds = matchings.sum(1).astype(jnp.float32)
+
+        damage = damage + .05 * hits
+
+        pos = agents.positions
+        outside = (pos < -CLEARANCE).any(-1) | \
+                  (pos > (self._bounds[:, None] + CLEARANCE)).any(-1)
+
+        # 5% damage per wound, 5% for being out of bounds, .1% per timestep.
+        health = health - .05 * (wounds + outside) - .001
+        return health, damage, matchings, hits.reshape(-1)
+
+    def _observe(self, agents, health, damage):
+        r = modules.render(self.core, agents)
+        line_idxs = modules.downsample(r.indices, self._rgb.subsample)[..., self._rgb.subsample // 2]
+        obj_idxs = line_idxs // self.core.scenery.n_model_lines
+        mask = (0 <= line_idxs) & (obj_idxs < self.core.n_agents)
+        opponents = jnp.where(mask, obj_idxs, -1)
+        health, damage, matchings, hits = self._shoot(agents, health, damage, opponents)
+        obs = arrdict(
+            rgb=self._rgb(r),
+            d=self._depth(r),
+            imu=self._imu(agents),
+            health=health[..., None])
+        return obs, health, damage, matchings, hits
+
+    def reset(self, key):
+        """Spawns everyone fresh. Returns ``(state, world)`` with the world expanded
+        to the sub-env (agent-as-env) layout."""
+        reset = self.core.agent_full(True)
+        agents, health, damage = self._respawn(
+            self.core.init_agents(), self.core.agent_full(0.),
+            self.core.agent_full(0.), reset, key)
+        obs, health, damage, matchings, reward = self._observe(agents, health, damage)
+        state = arrdict(agents=agents, progress=self.core.agent_full(1.),
+                        health=health, damage=damage, matchings=matchings)
+        return state, arrdict(obs=expand(obs), reward=reward, reset=reset.reshape(-1))
+
+    def step(self, state, decision, key):
+        """One step: respawn the dead, move, observe/shoot
+        (reference ``deathmatch.py:47-52, 88-96``). ``decision.actions`` is
+        (n_envs, 1) in the sub-env layout. Returns ``(state, world)``."""
+        reset = state.health <= 0
+        agents, health, damage = self._respawn(
+            state.agents, state.health, state.damage, reset, key)
+        agents, progress = self._movement(
+            agents, collapse(decision, self.core.n_agents))
+        obs, health, damage, matchings, reward = self._observe(agents, health, damage)
+        state = arrdict(agents=agents, progress=progress,
+                        health=health, damage=damage, matchings=matchings)
+        return state, arrdict(obs=expand(obs), reward=reward, reset=reset.reshape(-1))
+
+    def state(self, state, world, e=0):
+        """Numpy snapshot of scene ``e`` for plotting."""
+        A = self.core.n_agents
+        obs = collapse(world.obs, A)
+        return arrdict(
+            core=self.core.state(state.agents, state.progress, e),
+            rgb=numpyify(obs.rgb[e]),
+            d=numpyify(obs.d[e]),
+            health=np.asarray(state.health[e]),
+            damage=np.asarray(state.damage[e]),
+            matchings=np.asarray(state.matchings[e]),
+            bounds=np.asarray(self._bounds[e]))
+
+    @classmethod
+    def plot_state(cls, state):
+        import matplotlib as mpl
+        import matplotlib.pyplot as plt
+        from .. import plotting
+
+        n_agents = len(state.health)
+        show_value = 'decision' in state
+
+        fig = plt.figure()
+        gs = plt.GridSpec(n_agents, 4 if show_value else 3, fig)
+        colors = [f'C{i}' for i in range(n_agents)]
+
+        plan = core.Core.plot_state(state.core, plt.subplot(gs[:-1, :-1]))
+
+        origin, dest = state.matchings.nonzero()
+        if len(origin):
+            lines = state.core.agents.positions[np.stack([origin, dest], 1)]
+            linecolors = np.array(colors)[origin]
+            plan.add_collection(mpl.collections.LineCollection(
+                lines, color=linecolors, linewidth=1, alpha=.5))
+
+        size = state.bounds[::-1] + 2 * CLEARANCE
+        plan.add_artist(mpl.patches.Rectangle(
+            (-CLEARANCE, -CLEARANCE), *size,
+            linewidth=1, edgecolor='k', facecolor=(0., 0., 0., 0.)))
+
+        images = {'rgb': state.rgb, 'd': state.d}
+        plotting.plot_images(images, [plt.subplot(gs[i, -1]) for i in range(n_agents)])
+
+        ax = plt.subplot(gs[-1, 0])
+        ax.barh(np.arange(n_agents), state.health, color=colors)
+        ax.set_ylabel('health')
+        ax.set_yticks([])
+        ax.invert_yaxis()
+        ax.set_xlim(0, 1)
+
+        ax = plt.subplot(gs[-1, 1])
+        ax.barh(np.arange(n_agents), state.damage, color=colors)
+        ax.set_ylabel('inflicted')
+        ax.set_yticks([])
+        ax.invert_yaxis()
+
+        if show_value:
+            ax = plt.subplot(gs[-1, 2])
+            ax.barh(np.arange(n_agents), state.decision.value, color=colors)
+            ax.set_ylabel('value')
+            ax.set_yticks([])
+            ax.invert_yaxis()
+        return fig
+
+    def display(self, state, world, e=0):
+        return self.plot_state(self.state(state, world, e))

@@ -1,0 +1,166 @@
+"""The Explorer environment: reward for seeing new texels.
+
+Counterpart of the reference ``megastep/demo/envs/explorer.py:8-130``. The seen-texel
+bookkeeping becomes a per-env boolean array over the padded texel axis (the padded
+layout turns the reference's global ragged scatter_add into a per-env masked scatter
++ row sum), and all state (seen set, potential, episode lengths) lives in an explicit
+state pytree so the whole env jits and shards.
+
+One deliberate divergence: the reference writes ``seen[texindices] = True`` with
+miss-pixels carrying index -1, which (by Python negative indexing) spuriously marks
+the *last* texel of the whole batch as seen (``explorer.py:34-48``). Here misses are
+dropped instead.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import core, cubicasa, modules, scene
+from ..arrdict import arrdict, numpyify
+from ..dotdict import dotdict
+
+
+class Explorer:
+    """Exploration env over multi-room floorplans: RGB + depth + IMU observations,
+    momentum movement, reward per newly-seen texel.
+
+    :param n_envs: number of environments.
+    :param geometries: optional geometry list; defaults to :func:`cubicasa.sample`
+        (with an offline procedural fallback).
+    """
+
+    def __init__(self, n_envs, geometries=None, subsample=4, **kwargs):
+        geometries = cubicasa.sample(n_envs) if geometries is None else geometries
+        scenery = scene.scenery(geometries, 1)
+        self.core = core.Core(scenery, res=kwargs.pop('res', 4 * 64),
+                              fov=kwargs.pop('fov', 130), **kwargs)
+        self._rgb = modules.RGB(self.core, n_agents=1, subsample=subsample)
+        self._depth = modules.Depth(self.core, n_agents=1, subsample=subsample)
+        self._mover = modules.MomentumMovement(self.core)
+        self._imu = modules.IMU(self.core)
+        self._respawner = modules.RandomSpawns(geometries, self.core)
+
+        self.action_space = self._mover.space
+        self.obs_space = dotdict(
+            rgb=self._rgb.space,
+            d=self._depth.space,
+            imu=self._imu.space)
+
+    @property
+    def n_envs(self):
+        return self.core.n_envs
+
+    def _tex_indices(self, rc):
+        """Texel index hit by each pixel (reference ``explorer.py:34-43``).
+
+        :return: ``(tex, hit)`` — (N, A*R) int texel indices (clamped to 0 on miss)
+            and the matching hit mask.
+        """
+        scn = self.core.scenery
+        N = rc.indices.shape[0]
+        line = rc.indices.reshape(N, -1)
+        hit = line >= 0
+        line = jnp.maximum(line, 0)
+        start = jnp.take_along_axis(scn.line_tex_starts, line, 1)
+        width = jnp.take_along_axis(scn.line_tex_widths, line, 1)
+        loc = jnp.where(hit, rc.locations.reshape(N, -1), 0.)
+        ti = jnp.minimum(jnp.floor(width * loc), width - 1).astype(jnp.int32)
+        return start + jnp.maximum(ti, 0), hit
+
+    def _reward(self, state_seen, rc, reset):
+        """Marks hit texels seen and pays one unit per newly-seen texel, normalized
+        by the obs width (reference ``explorer.py:45-58``).
+
+        :return: ``(seen, potential, reward)``.
+        """
+        tex, hit = self._tex_indices(rc)
+        seen = jax.vmap(lambda s, t, h: s.at[t].max(h))(state_seen, tex, hit)
+        potential = seen.sum(-1).astype(jnp.float32)
+        old_potential = state_seen.sum(-1).astype(jnp.float32)
+        reward = (potential - old_potential) / (self.core.res // self._rgb.subsample)
+        reward = jnp.where(reset, 0., reward)
+        return seen, potential, reward
+
+    def _observe(self, agents, seen, reset):
+        r = modules.render(self.core, agents)
+        obs = arrdict(
+            rgb=self._rgb(r),
+            d=self._depth(r),
+            imu=self._imu(agents))
+        seen, potential, reward = self._reward(seen, r, reset)
+        return obs, seen, potential, reward
+
+    def reset(self, key):
+        """Spawns everyone fresh. Returns ``(state, world)``."""
+        scn = self.core.scenery
+        reset = self.core.env_full(True)
+        agents = self._respawner(
+            self.core.init_agents(), self.core.agent_full(True), key)
+        seen0 = jnp.zeros(scn.baked.shape, bool)
+        obs, seen, potential, reward = self._observe(agents, seen0, reset)
+        state = arrdict(
+            agents=agents,
+            progress=self.core.agent_full(1.),
+            seen=seen,
+            potential=potential,
+            lengths=self.core.env_full(0))
+        return state, arrdict(obs=obs, reward=reward, reset=reset)
+
+    def step(self, state, decision, key):
+        """One step: move, maybe reset timed-out envs, observe, reward.
+        Returns ``(state, world)`` (reference ``explorer.py:85-97``)."""
+        agents, progress = self._mover(state.agents, decision)
+
+        lengths = state.lengths + 1
+        reset = lengths >= state.potential + 200
+
+        # Respawn reset envs and clear their exploration bookkeeping.
+        agents = self._respawner(agents, reset[:, None], key)
+        seen = jnp.where(reset[:, None], False, state.seen)
+        lengths = jnp.where(reset, 0, lengths)
+
+        obs, seen, potential, reward = self._observe(agents, seen, reset)
+        state = arrdict(
+            agents=agents, progress=progress, seen=seen,
+            potential=potential, lengths=lengths)
+        return state, arrdict(obs=obs, reward=reward, reset=reset)
+
+    def state(self, state, world, e=0):
+        """Numpy snapshot of env ``e`` for plotting."""
+        scn = self.core.scenery
+        T = int(scn.tex_width[e])
+        return arrdict(
+            core=self.core.state(state.agents, state.progress, e),
+            rgb=numpyify(world.obs.rgb[e]),
+            d=numpyify(world.obs.d[e]),
+            potential=np.asarray(state.potential[e]),
+            seen=np.asarray(state.seen[e, :T]),
+            length=np.asarray(state.lengths[e]),
+            max_length=np.asarray(state.potential[e]) + 200)
+
+    @classmethod
+    def plot_state(cls, state):
+        import matplotlib.pyplot as plt
+        from .. import plotting
+        fig = plt.figure()
+        gs = plt.GridSpec(2, 2, fig, 0, 0, 1, 1)
+
+        alpha = .1 + .9 * state.seen.astype(float)
+        state = state.copy()
+        state['core'] = state.core.copy()
+        state.core['scenery'] = state.core.scenery.copy()
+        state.core.scenery['textures'] = state.core.scenery.textures.copy()
+        state.core.scenery.textures['vals'] = np.concatenate(
+            [state.core.scenery.textures.vals, alpha[:, None]], 1)
+        ax = core.Core.plot_state(state.core, plt.subplot(gs[:, 0]))
+
+        images = {'rgb': state.rgb, 'd': state.d}
+        plotting.plot_images(images, [plt.subplot(gs[:, 1])])
+
+        s = (f'length: {int(state.length):d}/{state.max_length:.0f}\n'
+             f'potential: {state.potential:.0f}')
+        ax.annotate(s, (5., 5.), xycoords='axes points')
+        return fig
+
+    def display(self, state, world, e=0):
+        return self.plot_state(self.state(state, world, e))

@@ -1,0 +1,102 @@
+"""Device meshes and sharded training steps.
+
+Parallelism layout (SURVEY.md §2e): the one strategy that matters for this engine is
+**env-batch data parallelism** — thousands of envs stepped in lockstep, sharded over
+every chip. Params and optimizer state are replicated; each chip steps its env shard
+(physics + raycast are embarrassingly parallel over envs) and the learner's gradient
+all-reduce is the only per-step collective, riding ICI. This replaces the
+reference's ``DDP2`` gradient sync (``rebar/processes.py:39-70``).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..arrdict import arrdict
+
+ENV_AXIS = 'env'
+
+
+def mesh(n_devices=None, devices=None, axis=ENV_AXIS):
+    """A 1-D device mesh over the env-batch axis.
+
+    :param n_devices: how many devices to use (default: all).
+    :param devices: explicit device list (overrides n_devices).
+    """
+    if devices is None:
+        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def env_sharding(m, axis=ENV_AXIS):
+    """NamedSharding that splits leaf axis 0 (the env axis) over the mesh."""
+    return NamedSharding(m, P(axis))
+
+
+def replicated(m):
+    """NamedSharding that replicates a leaf on every device."""
+    return NamedSharding(m, P())
+
+
+def _tree_with(tree, sharding):
+    return jax.tree_util.tree_map(lambda _: sharding, tree)
+
+
+def shard_carry(carry, m):
+    """Sharding tree for the training carry: params/opt replicated; env state,
+    world, and recurrent state sharded over the env axis (all are batch-first)."""
+    return arrdict(
+        params=_tree_with(carry.params, replicated(m)),
+        opt_state=_tree_with(carry.opt_state, replicated(m)),
+        env_state=_tree_with(carry.env_state, env_sharding(m)),
+        world=_tree_with(carry.world, env_sharding(m)),
+        agent_state=_tree_with(carry.agent_state, env_sharding(m)))
+
+
+def place_carry(carry, m):
+    """Places an (unsharded) carry onto the mesh with the standard layout."""
+    shardings = shard_carry(carry, m)
+    return jax.tree_util.tree_map(jax.device_put, carry, shardings)
+
+
+def make_sharded_train_step(env, agent, opt, m, donate=True, **kwargs):
+    """Jits the one-chunk training step over a device mesh.
+
+    The returned step has the same signature as
+    :func:`megastep_tpu.demo.train.make_train_step`'s, but with in/out shardings
+    pinned: the env batch stays sharded chip-local end-to-end (observations never
+    leave their device) and XLA inserts a single gradient all-reduce per minibatch.
+
+    :param donate: donate the carry buffers (halves peak memory on real chips).
+    """
+    from ..demo.train import make_train_step, init_carry
+
+    step = make_train_step(env, agent, opt, **kwargs)
+
+    def shardings_for(carry):
+        return shard_carry(carry, m)
+
+    def jitted(carry, key):
+        return step(carry, key)
+
+    def compile_for(carry):
+        sh = shardings_for(carry)
+        return jax.jit(
+            jitted,
+            in_shardings=(sh, replicated(m)),
+            out_shardings=(sh, _tree_with(
+                jax.eval_shape(lambda c, k: step(c, k)[1], carry,
+                               jax.random.PRNGKey(0)), replicated(m))),
+            donate_argnums=(0,) if donate else ())
+
+    return compile_for
+
+
+def init_sharded(env, agent, opt, key, m):
+    """Initializes a carry and places it on the mesh. Returns
+    ``(carry, step_fn)`` ready to run."""
+    from ..demo.train import init_carry
+    carry = init_carry(env, agent, opt, key)
+    carry = place_carry(carry, m)
+    step = make_sharded_train_step(env, agent, opt, m)(carry)
+    return carry, step

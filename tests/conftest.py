@@ -10,3 +10,14 @@ os.environ.setdefault('JAX_PLATFORMS', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+# Persistent compilation cache: the suite is compile-bound on CPU; caching makes
+# repeat runs fast.
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/tmp/jaxcache')
+
+import matplotlib
+matplotlib.use('Agg')
+
+
+def pytest_configure(config):
+    config.addinivalue_line('markers', 'slow: long-running training tests')
