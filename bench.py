@@ -29,31 +29,33 @@ def build(n_envs, res=256, subsample=4):
 def bench(env, steps=64, reps=3):
     key = jax.random.PRNGKey(0)
     state, world = env.reset(key)
+    n_envs = env.n_envs
 
-    def body(carry, key_t):
-        state, world = carry
-        k_act, k_env = jax.random.split(key_t)
-        from megastep_tpu.arrdict import arrdict
-        actions = jax.random.randint(k_act, (env.n_envs, 1), 0, 7)
-        state, world = env.step(state, arrdict(actions=actions), k_env)
-        return (state, world), world.reward.sum()
-
+    # The env is a pytree and rides through jit as an ARGUMENT — a closure would
+    # bake the whole padded scenery into the program as literal constants.
     @jax.jit
-    def run(carry, key):
+    def run(env, carry, key):
+        def body(carry, key_t):
+            state, world = carry
+            k_act, k_env = jax.random.split(key_t)
+            from megastep_tpu.arrdict import arrdict
+            actions = jax.random.randint(k_act, (n_envs, 1), 0, 7)
+            state, world = env.step(state, arrdict(actions=actions), k_env)
+            return (state, world), world.reward.sum()
         return jax.lax.scan(body, carry, jax.random.split(key, steps))
 
     # Compile + warm up.
     carry = (state, world)
-    carry, _ = run(carry, key)
+    carry, _ = run(env, carry, key)
     jax.block_until_ready(carry)
 
     best = 0.
     for i in range(reps):
         t0 = time.perf_counter()
-        carry, r = run(carry, jax.random.fold_in(key, i))
+        carry, r = run(env, carry, jax.random.fold_in(key, i))
         jax.block_until_ready(r)
         dt = time.perf_counter() - t0
-        best = max(best, env.n_envs * steps / dt)
+        best = max(best, n_envs * steps / dt)
     return best
 
 

@@ -123,8 +123,10 @@ def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
     """Builds the jitted one-chunk training step: rollout → minibatched PPO with
     KL early stop (reference outer loop, ``demo/__init__.py:124-145``).
 
-    :return: ``step(carry, key) -> (carry, metrics)`` where carry is the arrdict
-        (params, opt_state, env_state, world, agent_state).
+    :return: ``step(env, carry, key) -> (carry, metrics)`` where carry is the
+        arrdict (params, opt_state, env_state, world, agent_state). The env is an
+        explicit argument so that under jit its scenery/spawn tables remain
+        runtime buffers instead of program constants (envs are pytrees).
     """
     apply = lambda params, world, state, **kw: agent.apply(
         {'params': params}, world, state, **kw)
@@ -132,7 +134,7 @@ def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
     batch_width = max(batch_size // buffer_size, 1)
     n_batches = n_envs // batch_width
 
-    def step(carry, key):
+    def step(env, carry, key):
         k_roll, k_perm = jax.random.split(key)
         state0 = carry.agent_state
         env_state, world, agent_state, chunk = rollout(
@@ -207,7 +209,7 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
         i = 0
         while steps is None or i < steps:
             key, k = jax.random.split(key)
-            carry, metrics = step(carry, k)
+            carry, metrics = step(env, carry, k)
             metrics = {k2: float(v) for k2, v in metrics.items()}
             with stats.defer():
                 stats.rate('sample-rate/actor', int(metrics.pop('samples')))

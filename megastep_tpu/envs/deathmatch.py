@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from .. import core, cubicasa, modules, scene, spaces
 from ..arrdict import arrdict, jaxify, numpyify
 from ..dotdict import dotdict, mapping
+from ..pytree import pytree
 
 CLEARANCE = 1.
 
@@ -35,6 +36,7 @@ def collapse(x, n_agents):
     return _collapse(x)
 
 
+@pytree('core', '_rgb', '_depth', '_imu', '_movement', '_spawner', '_bounds')
 class Deathmatch:
     """Multi-agent combat (see module docstring).
 

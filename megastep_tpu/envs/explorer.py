@@ -18,8 +18,10 @@ import jax.numpy as jnp
 from .. import core, cubicasa, modules, scene
 from ..arrdict import arrdict, numpyify
 from ..dotdict import dotdict
+from ..pytree import pytree
 
 
+@pytree('core', '_rgb', '_depth', '_mover', '_imu', '_respawner')
 class Explorer:
     """Exploration env over multi-room floorplans: RGB + depth + IMU observations,
     momentum movement, reward per newly-seen texel.
@@ -61,8 +63,16 @@ class Explorer:
         line = rc.indices.reshape(N, -1)
         hit = line >= 0
         line = jnp.maximum(line, 0)
-        start = jnp.take_along_axis(scn.line_tex_starts, line, 1)
-        width = jnp.take_along_axis(scn.line_tex_widths, line, 1)
+        if jax.default_backend() == 'tpu':
+            from ..ops.render import onehot_lookup
+            attrs = jnp.stack([scn.line_tex_starts, scn.line_tex_widths],
+                              -1).astype(jnp.float32)
+            sw = onehot_lookup(attrs, line)
+            start = sw[..., 0].astype(jnp.int32)
+            width = sw[..., 1].astype(jnp.int32)
+        else:
+            start = jnp.take_along_axis(scn.line_tex_starts, line, 1)
+            width = jnp.take_along_axis(scn.line_tex_widths, line, 1)
         loc = jnp.where(hit, rc.locations.reshape(N, -1), 0.)
         ti = jnp.minimum(jnp.floor(width * loc), width - 1).astype(jnp.int32)
         return start + jnp.maximum(ti, 0), hit
@@ -74,7 +84,13 @@ class Explorer:
         :return: ``(seen, potential, reward)``.
         """
         tex, hit = self._tex_indices(rc)
-        seen = jax.vmap(lambda s, t, h: s.at[t].max(h))(state_seen, tex, hit)
+        if jax.default_backend() == 'tpu':
+            # Scatter-free: TPU scatters serialize; a one-hot MXU reduction
+            # marks all newly-seen texels at memory-bandwidth speed.
+            from ..ops.render import onehot_any
+            seen = state_seen | onehot_any(tex, hit, state_seen.shape[1])
+        else:
+            seen = jax.vmap(lambda s, t, h: s.at[t].max(h))(state_seen, tex, hit)
         potential = seen.sum(-1).astype(jnp.float32)
         old_potential = state_seen.sum(-1).astype(jnp.float32)
         reward = (potential - old_potential) / (self.core.res // self._rgb.subsample)

@@ -9,8 +9,10 @@ import jax.numpy as jnp
 from .. import core, modules, scene, toys
 from ..arrdict import arrdict, numpyify
 from ..dotdict import dotdict
+from ..pytree import pytree
 
 
+@pytree('core', 'spawner', 'rgb', 'movement')
 class Minimal:
     """A box env with depth observations and simple movement. A good foundation for
     building your own environments.

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from . import spaces, geometry
 from .arrdict import arrdict, jaxify, stack
 from .ops import geom
+from .pytree import pytree
 
 to_local_frame = geom.to_local_frame
 to_global_frame = geom.to_global_frame
@@ -29,6 +30,7 @@ _VELOCITY_BASIS = np.array(
 _ANGVELOCITY_BASIS = np.array([0., 0., 0., 0., 0., +1., -1.])
 
 
+@pytree('core', '_actionset')
 class SimpleMovement:
     """A momentum-free movement system: seven discrete actions set the velocity
     directly (reference ``modules.py:24-66``).
@@ -55,6 +57,7 @@ class SimpleMovement:
         return self.core.physics(agents)
 
 
+@pytree('core', '_actionset')
 class MomentumMovement:
     """A movement system *with* momentum: actions apply acceleration on top of
     decayed velocity (reference ``modules.py:68-118``).
@@ -100,6 +103,7 @@ def downsample(screen, subsample):
     return screen.reshape(*screen.shape[:-1], screen.shape[-1] // subsample, subsample)
 
 
+@pytree('core')
 class Depth:
     """Depth observations in [0, 1]: 1 at the near plane, 0 at ``max_depth`` meters
     (reference ``modules.py:147-189``).
@@ -122,6 +126,7 @@ class Depth:
         return downsample(depth, self.subsample).mean(-1)[:, :, :, None]
 
 
+@pytree('core')
 class RGB:
     """Linear-RGB observations in [0, 1]; :func:`~megastep_tpu.constants.gamma_encode`
     before display (reference ``modules.py:191-238``).
@@ -152,6 +157,7 @@ class RGB:
         return axes
 
 
+@pytree('core')
 class IMU:
     """Inertial measurements: (angular velocity, medial velocity, lateral velocity)
     in the agent's local frame, scaled to ~[-1, 1] (reference ``modules.py:240-270``).
@@ -190,6 +196,7 @@ def random_empty_positions(geometries, n_agents, n_points, random=np.random):
     return np.stack(points)
 
 
+@pytree('core', '_spawns')
 class RandomSpawns:
     """Respawns masked agents at precomputed random empty locations with zeroed
     velocities (reference ``modules.py:295-326``).
@@ -223,6 +230,7 @@ class RandomSpawns:
             velocity=jnp.where(reset[..., None], 0., agents.velocity))
 
 
+@pytree('core')
 class RandomLifespans:
     """Randomized per-agent lifespans, for decorrelating otherwise-synchronous env
     batches (reference ``modules.py:328-381``).

@@ -117,22 +117,99 @@ def _gather_per_env(arr, idx):
     return jnp.take_along_axis(arr, flat_idx, 1).reshape(idx.shape)
 
 
-def shade(scenery, rc, baked_now):
+def onehot_lookup(values, idx, chunk=128):
+    """``values[n, idx[n, p]]`` as chunked one-hot matmuls — the TPU-native gather.
+
+    XLA emulates gather on TPU with a serial loop (~40 ns/row); a one-hot
+    (P, T) × (T, K) product instead rides the MXU. ``Precision.HIGHEST``
+    (3-pass bf16 decomposition) makes row selection *exact*: every partial
+    product is value·1 or value·0.
+
+    :param values: (N, T, K) table.
+    :param idx: (N, P) int32 indices into T.
+    :param chunk: envs per matmul block, bounding the (chunk, P, T) one-hot.
+    :return: (N, P, K) f32.
+    """
+    N, T, K = values.shape
+    P = idx.shape[1]
+    C = min(chunk, N)
+    while N % C:
+        C //= 2
+
+    def body(args):
+        v, i = args                                          # (C, T, K), (C, P)
+        onehot = (i[:, :, None] == jnp.arange(T)[None, None]).astype(values.dtype)
+        return jnp.einsum('cpt,ctk->cpk', onehot, v,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.lax.map(body, (values.reshape(N // C, C, T, K),
+                             idx.reshape(N // C, C, P)))
+    return out.reshape(N, P, K)
+
+
+def onehot_any(idx, mask, T, chunk=128):
+    """Per-env "was texel t hit by any masked index" — the scatter-free
+    counterpart of ``seen[idx] = True`` (TPU scatters serialize like gathers).
+
+    :param idx: (N, P) int32 indices into T.
+    :param mask: (N, P) bool — which entries count.
+    :return: (N, T) bool.
+    """
+    N, P = idx.shape
+    C = min(chunk, N)
+    while N % C:
+        C //= 2
+
+    def body(args):
+        i, m = args                                          # (C, P), (C, P)
+        onehot = (i[:, :, None] == jnp.arange(T)[None, None]).astype(jnp.float32)
+        counts = jnp.einsum('cp,cpt->ct', m.astype(jnp.float32), onehot,
+                            precision=jax.lax.Precision.DEFAULT)
+        return counts > 0
+
+    out = jax.lax.map(body, (idx.reshape(N // C, C, P),
+                             mask.reshape(N // C, C, P)))
+    return out.reshape(N, T)
+
+
+def shade(scenery, rc, baked_now, method=None):
     """Texture lookup + lighting + Lambert shading per pixel (``shader_kernel``,
     ``kernels.cu:407-450``). Returns the (N, A, R, 3) linear-RGB screen; misses are
-    black."""
+    black.
+
+    :param method: 'onehot' (MXU lookups, TPU default) or 'gather'.
+    """
+    if method is None:
+        method = 'onehot' if jax.default_backend() == 'tpu' else 'gather'
     hit = rc.indices >= 0
     idx = jnp.maximum(rc.indices, 0)
     loc = jnp.where(hit, rc.locations, .5)
+    N = idx.shape[0]
+    P = idx[0].size
 
-    width = _gather_per_env(scenery.line_tex_widths, idx)
-    start = _gather_per_env(scenery.line_tex_starts, idx)
-    l, r, lw, rw = tex_filter(loc, width)
+    if method == 'onehot':
+        # Line attrs and both texel taps as one-hot matmuls; rgb+baked are fused
+        # into one (N, T, 4) table so each tap is a single lookup.
+        attrs = jnp.stack([scenery.line_tex_starts, scenery.line_tex_widths],
+                          -1).astype(jnp.float32)
+        sw = onehot_lookup(attrs, idx.reshape(N, P)).reshape(*idx.shape, 2)
+        start = sw[..., 0].astype(jnp.int32)
+        width = sw[..., 1].astype(jnp.int32)
+        l, r, lw, rw = tex_filter(loc, width)
 
-    tex_l = _gather_per_env(scenery.textures, start + l)                  # (N, A, R, 3)
-    tex_r = _gather_per_env(scenery.textures, start + r)
-    intensity = lw * _gather_per_env(baked_now, start + l) + \
-        rw * _gather_per_env(baked_now, start + r)
+        table = jnp.concatenate([scenery.textures, baked_now[..., None]], -1)
+        tap_l = onehot_lookup(table, (start + l).reshape(N, P)).reshape(*idx.shape, 4)
+        tap_r = onehot_lookup(table, (start + r).reshape(N, P)).reshape(*idx.shape, 4)
+        tex_l, tex_r = tap_l[..., :3], tap_r[..., :3]
+        intensity = lw * tap_l[..., 3] + rw * tap_r[..., 3]
+    else:
+        width = _gather_per_env(scenery.line_tex_widths, idx)
+        start = _gather_per_env(scenery.line_tex_starts, idx)
+        l, r, lw, rw = tex_filter(loc, width)
+        tex_l = _gather_per_env(scenery.textures, start + l)              # (N, A, R, 3)
+        tex_r = _gather_per_env(scenery.textures, start + r)
+        intensity = lw * _gather_per_env(baked_now, start + l) + \
+            rw * _gather_per_env(baked_now, start + r)
 
     lambert = 1 - jnp.where(hit, rc.dots, 0.)**2
     shadefac = (lambert * intensity)[..., None]
@@ -140,8 +217,17 @@ def shade(scenery, rc, baked_now):
     return jnp.where(hit[..., None], shadefac * color, 0.)
 
 
+def backend_default():
+    """Raycast backend. 'jnp' everywhere for now: XLA fuses the nearest-hit
+    reduction well (~6 ms at 4k envs·256 px·48 lines on v5e), while the Pallas
+    kernel — bit-identical and VMEM-resident — currently loses to per-program
+    dispatch overhead (~16 µs × one program per env). Set 'pallas' explicitly to
+    use it; making it win is tracked perf work."""
+    return 'jnp'
+
+
 def render(scenery, agents, res, half_screen_width, agent_radius,
-           rebake_dynamic=None):
+           rebake_dynamic=None, backend=None):
     """Full render pass: draw agent models, raycast, re-light dynamic texels, shade
     (counterpart of the ``render()`` host orchestration, ``kernels.cu:452-475``).
 
@@ -149,12 +235,25 @@ def render(scenery, agents, res, half_screen_width, agent_radius,
         texels this frame. Defaults to ``n_agents > 1`` — with a single agent the
         camera near plane hides the agent's own model, so its lighting is never
         sampled.
+    :param backend: 'pallas' (TPU kernel), 'jnp' (reference impl), or None for
+        the platform default.
     :return: arrdict of ``indices/locations/dots/distances`` (N, A, R) and
         ``screen`` (N, A, R, 3).
     """
+    backend = backend_default() if backend is None else backend
+    if backend == 'pallas':
+        from . import render_pallas
+        if not render_pallas.supported(res, scenery.lines.shape[1]):
+            backend = 'jnp'  # needs lane-aligned columns + VMEM-sized line count
     lines_now = draw(scenery, agents)
-    rc = raycast(lines_now, scenery.lines_width, agents.angles, agents.positions,
-                 res, half_screen_width, agent_radius)
+    if backend == 'pallas':
+        from . import render_pallas
+        rc = render_pallas.raycast(
+            lines_now, scenery.lines_width, agents.angles, agents.positions,
+            res, half_screen_width, agent_radius)
+    else:
+        rc = raycast(lines_now, scenery.lines_width, agents.angles,
+                     agents.positions, res, half_screen_width, agent_radius)
 
     if rebake_dynamic is None:
         rebake_dynamic = scenery.n_agents > 1

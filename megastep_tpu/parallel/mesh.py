@@ -53,6 +53,25 @@ def shard_carry(carry, m):
         agent_state=_tree_with(carry.agent_state, env_sharding(m)))
 
 
+def shard_env(env, m):
+    """Sharding tree for an env pytree: scenery/spawn-table leaves (leading dim ==
+    n_envs) split over the env axis, everything else (action tables, the shared
+    agent model) replicated."""
+    ns = {env.n_envs}
+    if hasattr(env, 'core'):
+        ns.add(env.core.n_envs)  # agent-as-env layouts (Deathmatch) scene-shard
+    def rule(x):
+        if hasattr(x, 'shape') and x.ndim >= 1 and x.shape[0] in ns:
+            return env_sharding(m)
+        return replicated(m)
+    return jax.tree_util.tree_map(rule, env)
+
+
+def place_env(env, m):
+    """Places an env's arrays onto the mesh with the standard layout."""
+    return jax.tree_util.tree_map(jax.device_put, env, shard_env(env, m))
+
+
 def place_carry(carry, m):
     """Places an (unsharded) carry onto the mesh with the standard layout."""
     shardings = shard_carry(carry, m)
@@ -62,41 +81,34 @@ def place_carry(carry, m):
 def make_sharded_train_step(env, agent, opt, m, donate=True, **kwargs):
     """Jits the one-chunk training step over a device mesh.
 
-    The returned step has the same signature as
-    :func:`megastep_tpu.demo.train.make_train_step`'s, but with in/out shardings
-    pinned: the env batch stays sharded chip-local end-to-end (observations never
-    leave their device) and XLA inserts a single gradient all-reduce per minibatch.
+    The returned step is ``step(env, carry, key)`` (envs are pytrees and ride
+    through jit as arguments), with in/out shardings pinned: the env batch —
+    including the padded scenery — stays sharded chip-local end-to-end
+    (observations never leave their device) and XLA inserts a single gradient
+    all-reduce per minibatch.
 
     :param donate: donate the carry buffers (halves peak memory on real chips).
     """
-    from ..demo.train import make_train_step, init_carry
+    from ..demo.train import make_train_step
 
     step = make_train_step(env, agent, opt, **kwargs)
 
-    def shardings_for(carry):
-        return shard_carry(carry, m)
-
-    def jitted(carry, key):
-        return step(carry, key)
-
     def compile_for(carry):
-        sh = shardings_for(carry)
+        sh = shard_carry(carry, m)
         return jax.jit(
-            jitted,
-            in_shardings=(sh, replicated(m)),
-            out_shardings=(sh, _tree_with(
-                jax.eval_shape(lambda c, k: step(c, k)[1], carry,
-                               jax.random.PRNGKey(0)), replicated(m))),
-            donate_argnums=(0,) if donate else ())
+            step,
+            in_shardings=(shard_env(env, m), sh, replicated(m)),
+            donate_argnums=(1,) if donate else ())
 
     return compile_for
 
 
 def init_sharded(env, agent, opt, key, m):
-    """Initializes a carry and places it on the mesh. Returns
-    ``(carry, step_fn)`` ready to run."""
+    """Initializes a carry and places env + carry on the mesh. Returns
+    ``(env, carry, step_fn)`` ready to run as ``step_fn(env, carry, key)``."""
     from ..demo.train import init_carry
     carry = init_carry(env, agent, opt, key)
     carry = place_carry(carry, m)
+    env = place_env(env, m)
     step = make_sharded_train_step(env, agent, opt, m)(carry)
-    return carry, step
+    return env, carry, step

@@ -17,10 +17,12 @@ import jax.numpy as jnp
 from .. import spaces
 from ..arrdict import arrdict
 from ..dotdict import dotdict
+from ..pytree import pytree
 
 __all__ = ['FSM', 'Builder', 'fsm']
 
 
+@pytree('_obs', '_trans', '_reward', '_terminal', '_start')
 class FSM:
     """A batch of identical tabular MDPs stepped in lockstep.
 
@@ -207,7 +209,8 @@ def fsm(f):
 
     name = f.__name__
     __all__.append(name)
-    return type(name, (FSM,), {'__init__': init})
+    cls = type(name, (FSM,), {'__init__': init})
+    return pytree('_obs', '_trans', '_reward', '_terminal', '_start')(cls)
 
 
 @fsm

@@ -21,7 +21,7 @@ def _train(env, steps, width=16, lr=3e-3, buffer=8, seed=0):
     rewards = []
     for i in range(steps):
         key, k = jax.random.split(key)
-        carry, metrics = step(carry, k)
+        carry, metrics = step(env, carry, k)
         rewards.append(float(metrics['traj_reward']))
     return rewards
 
