@@ -18,9 +18,17 @@ import jax.numpy as jnp
 BASELINE_FPS = 180_000.
 
 
-def build(n_envs, res=256, subsample=4):
+def build(n_envs, res=256, subsample=4, kind='explorer'):
     from megastep_tpu import floorplans
-    from megastep_tpu.envs import Explorer
+    from megastep_tpu.envs import Deathmatch, Explorer
+    if kind == 'deathmatch':
+        # Reference Deathmatch bench: res 512, 4 agents/scene, agent-steps
+        # accounting (docs/index.rst:19, deathmatch.py:44).
+        n_scenes = max(n_envs // 4, 1)
+        geoms = floorplans.sample(min(n_scenes, 512))
+        geoms = [geoms[i % len(geoms)] for i in range(n_scenes)]
+        return Deathmatch(n_envs, n_agents=4, geometries=geoms, res=res,
+                          subsample=subsample)
     geoms = floorplans.sample(min(n_envs, 512))
     geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
     return Explorer(n_envs, geometries=geoms, res=res, subsample=subsample)
@@ -59,17 +67,25 @@ def bench(env, steps=64, reps=3):
     return best
 
 
+DM_BASELINE_FPS = 1_200_000.
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--envs', type=int, default=16 * 1024)
-    p.add_argument('--res', type=int, default=256)
+    p.add_argument('--res', type=int, default=None)
     p.add_argument('--steps', type=int, default=64)
+    p.add_argument('--kind', choices=['explorer', 'deathmatch'],
+                   default='explorer')
     args = p.parse_args()
+
+    res = args.res or (512 if args.kind == 'deathmatch' else 256)
+    baseline = DM_BASELINE_FPS if args.kind == 'deathmatch' else BASELINE_FPS
 
     n_envs = args.envs
     while n_envs >= 256:
         try:
-            env = build(n_envs, res=args.res)
+            env = build(n_envs, res=res, kind=args.kind)
             fps = bench(env, steps=args.steps)
             break
         except Exception as e:
@@ -81,10 +97,10 @@ def main():
         raise RuntimeError('bench failed at every env count')
 
     print(json.dumps({
-        'metric': f'explorer_env_steps_per_s@{n_envs}',
+        'metric': f'{args.kind}_env_steps_per_s@{n_envs}',
         'value': round(fps),
         'unit': 'steps/s',
-        'vs_baseline': round(fps / BASELINE_FPS, 3)}))
+        'vs_baseline': round(fps / baseline, 3)}))
 
 
 if __name__ == '__main__':

@@ -61,12 +61,26 @@ def raycast(lines_now, lines_width, angles, positions, res, half_screen_width,
     ru = jnp.stack([c - s * uy, s + c * uy], -1)                          # (N, A, R, 2)
     rlen = geom.length(ru)
 
-    p = positions[:, :, None, None, :]                                    # (N, A, 1, 1, 2)
-    u = ru[:, :, :, None, :]                                              # (N, A, R, 1, 2)
-    la = lines_now[:, None, None, :, 0, :]                                # (N, 1, 1, L, 2)
-    lv = lines_now[:, None, None, :, 1, :] - la
+    # The ray×line cross products are rank-2 contractions — put them on the MXU
+    # instead of the VPU: uxv = ru × v and t_num = ru⊥ · pq, each one batched
+    # (R, 2) @ (2, L) matmul per (env, agent). s's numerator is per-line only.
+    la = lines_now[..., 0, :]                                             # (N, L, 2)
+    lv = lines_now[..., 1, :] - la
+    pq = la[:, None] - positions[:, :, None]                              # (N, A, L, 2)
 
-    sq, tq = geom.intersect(p, u, la, lv)                                 # (N, A, R, L)
+    v_perp = jnp.stack([lv[..., 1], -lv[..., 0]], -1)                     # (N, L, 2)
+    uxv = jnp.einsum('nark,nlk->narl', ru, v_perp,
+                     precision=jax.lax.Precision.HIGHEST)                 # (N, A, R, L)
+    t_num = jnp.einsum('nark,nalk->narl', jnp.stack([ru[..., 1], -ru[..., 0]], -1),
+                       pq, precision=jax.lax.Precision.HIGHEST)
+    # s's numerator pq × v is per-(agent, line) only — (N, A, L), ray-independent.
+    s_num = pq[..., 0] * lv[:, None, :, 1] - pq[..., 1] * lv[:, None, :, 0]
+
+    distant = jnp.abs(uxv) < geom.PARALLEL_EPS
+    safe = jnp.where(distant, 1., uxv)
+    sq = jnp.where(distant, jnp.inf, s_num[:, :, None] / safe)            # (N, A, R, L)
+    tq = jnp.where(distant, jnp.inf, t_num / safe)
+
     near = agent_radius / rlen
     live = (jnp.arange(L)[None, None, None] < lines_width[:, None, None, None])
     valid = (0 <= tq) & (tq <= 1) & (near[..., None] < sq) & live
@@ -82,7 +96,7 @@ def raycast(lines_now, lines_width, angles, positions, res, half_screen_width,
     sel = jnp.take_along_axis(flat, idx.reshape(N, A * res, 1), 1)
     sel = sel.reshape(N, A, res, 2, 2)
     sa, sv = sel[..., 0, :], sel[..., 1, :] - sel[..., 0, :]
-    s_sel, t_sel = geom.intersect(p[..., 0, :], ru, sa, sv)
+    s_sel, t_sel = geom.intersect(positions[:, :, None, :], ru, sa, sv)
     dot_sel = geom.dot(ru, sv) / (rlen * geom.length(sv) + 1e-6)
 
     nan = jnp.float32(jnp.nan)
@@ -151,6 +165,9 @@ def onehot_any(idx, mask, T, chunk=128):
     """Per-env "was texel t hit by any masked index" — the scatter-free
     counterpart of ``seen[idx] = True`` (TPU scatters serialize like gathers).
 
+    bf16 one-hots halve the dominant HBM stream and stay exact: every product is
+    0·x or 1·x and the f32 accumulator is exact below 2^24 counts.
+
     :param idx: (N, P) int32 indices into T.
     :param mask: (N, P) bool — which entries count.
     :return: (N, T) bool.
@@ -162,14 +179,46 @@ def onehot_any(idx, mask, T, chunk=128):
 
     def body(args):
         i, m = args                                          # (C, P), (C, P)
-        onehot = (i[:, :, None] == jnp.arange(T)[None, None]).astype(jnp.float32)
-        counts = jnp.einsum('cp,cpt->ct', m.astype(jnp.float32), onehot,
-                            precision=jax.lax.Precision.DEFAULT)
+        onehot = (i[:, :, None] == jnp.arange(T)[None, None]).astype(jnp.bfloat16)
+        counts = jnp.einsum('cp,cpt->ct', m.astype(jnp.bfloat16), onehot,
+                            preferred_element_type=jnp.float32)
         return counts > 0
 
     out = jax.lax.map(body, (idx.reshape(N // C, C, P),
                              mask.reshape(N // C, C, P)))
     return out.reshape(N, T)
+
+
+def weighted_lookup(values, idx_l, idx_r, w_l, w_r, chunk=128):
+    """``w_l·values[n, idx_l] + w_r·values[n, idx_r]`` as ONE weights-matmul per
+    chunk — the two-tap linear texture filter *is* a matmul, so fusing the taps
+    halves the dominant (chunk, P, T) stream vs two one-hot lookups.
+
+    :param values: (N, T, K) table.
+    :param idx_l/idx_r: (N, P) int32 tap indices.
+    :param w_l/w_r: (N, P) f32 tap weights.
+    :return: (N, P, K) f32.
+    """
+    N, T, K = values.shape
+    P = idx_l.shape[1]
+    C = min(chunk, N)
+    while N % C:
+        C //= 2
+
+    def body(args):
+        v, il, ir, wl, wr = args
+        t = jnp.arange(T)[None, None]
+        weights = (wl[:, :, None] * (il[:, :, None] == t)
+                   + wr[:, :, None] * (ir[:, :, None] == t))  # (C, P, T)
+        return jnp.einsum('cpt,ctk->cpk', weights, v,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    out = jax.lax.map(body, (values.reshape(N // C, C, T, K),
+                             idx_l.reshape(N // C, C, P),
+                             idx_r.reshape(N // C, C, P),
+                             w_l.reshape(N // C, C, P),
+                             w_r.reshape(N // C, C, P)))
+    return out.reshape(N, P, K)
 
 
 def shade(scenery, rc, baked_now, method=None):
@@ -189,7 +238,9 @@ def shade(scenery, rc, baked_now, method=None):
 
     if method == 'onehot':
         # Line attrs and both texel taps as one-hot matmuls; rgb+baked are fused
-        # into one (N, T, 4) table so each tap is a single lookup.
+        # into one (N, T, 4) table so each tap is a single lookup. (A fused
+        # weights-matmul of both taps measured a wash — the weight-matrix
+        # construction costs what the second tap saves.)
         attrs = jnp.stack([scenery.line_tex_starts, scenery.line_tex_widths],
                           -1).astype(jnp.float32)
         sw = onehot_lookup(attrs, idx.reshape(N, P)).reshape(*idx.shape, 2)
