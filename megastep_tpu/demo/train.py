@@ -226,7 +226,7 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
 
 
 def demo(run=-1, length=None, test=True, N=None, env=None, agent=None,
-         params=None, d=0, seed=0):
+         params=None, d=0, seed=0, backend='process'):
     """Rolls out a trained agent and encodes a video of env ``d``
     (reference ``demo()``, ``demo/__init__.py:150-173``)."""
     from ..envs import Explorer
@@ -244,7 +244,7 @@ def demo(run=-1, length=None, test=True, N=None, env=None, agent=None,
     agent_state = agent.initial_state(env.n_envs)
 
     steps = 0
-    with recording.ParallelEncoder(env.plot_state, N=N) as encoder:
+    with recording.ParallelEncoder(env.plot_state, N=N, backend=backend) as encoder:
         while True:
             key, k_act, k_env = jax.random.split(key, 3)
             decision, agent_state = apply(

@@ -32,6 +32,10 @@ class Minimal:
         self.obs_space = self.rgb.space
         self.action_space = self.movement.space
 
+    @property
+    def n_envs(self):
+        return self.core.n_envs
+
     def reset(self, key):
         """Spawns all agents. Returns ``(state, world)``."""
         agents = self.spawner(

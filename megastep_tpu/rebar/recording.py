@@ -218,9 +218,10 @@ class ParallelEncoder:
     :param f: picklable frame producer returning an array or figure.
     :param fps: framerate.
     :param N: worker count (int), fraction of CPUs (float), or None for half.
+    :param backend: 'process' (default), 'thread', or 'serial' (debuggable).
     """
 
-    def __init__(self, f, fps=20, N=None):
+    def __init__(self, f, fps=20, N=None, backend='process'):
         cpus = multiprocessing.cpu_count()
         if N is None:
             N = max(cpus // 2, 1)
@@ -234,8 +235,9 @@ class ParallelEncoder:
         self._encoder = Encoder(fps)
         self._f = f
         self._queuelen = N
+        kwargs = {} if backend == 'serial' else {'initializer': _init_worker}
         self._pool = parallel(_array, progress=False, n_workers=N,
-                              initializer=_init_worker)
+                              backend=backend, **kwargs)
 
     def __enter__(self):
         self._futures = {}
