@@ -82,3 +82,17 @@ class temp_clear_set:
         clear(self._obj)
         set(self._obj, self._stash)
         return False
+
+
+class Sequential:
+    """A kwargs-passing sequential container (reference ``recurrence.py:77-82``):
+    each callable receives the running value plus the shared kwargs. For flax-based
+    stacks prefer explicit composition in a module's ``__call__``."""
+
+    def __init__(self, *fns):
+        self.fns = fns
+
+    def __call__(self, x, **kwargs):
+        for f in self.fns:
+            x = f(x, **kwargs)
+        return x
