@@ -43,9 +43,11 @@ PARALLEL_EPS = geom.PARALLEL_EPS
 ENV_BLOCK = 8
 
 # Empirical Mosaic scoped-VMEM cost of one program body, in bytes per
-# (ray, line) element (measured from compiler OOM reports).
-VMEM_PER_ELEMENT = 1000
-VMEM_BUDGET = 14 * 1024 * 1024
+# (ray, line) element (measured from compiler OOM reports). The 16 MB scoped
+# limit is only the compiler default: with CompilerParams(vmem_limit_bytes=100MB)
+# bodies estimated up to ~92 MB compile and run on v5e.
+VMEM_PER_ELEMENT = 1400
+VMEM_BUDGET = 88 * 1024 * 1024
 
 
 def min_ray_tile(res, n_lines):
@@ -105,21 +107,26 @@ def _raycast_kernel(res, ray_tile, env_block, half_screen_width, agent_radius,
     rlen = jnp.sqrt(rux_c * rux_c + ruy_c * ruy_c)
     near = agent_radius / rlen                               # (R, 1)
 
-    # Broadcast every operand to (R, L) ONCE: mixing (R, 1) columns with (1, L)
-    # rows makes Mosaic relayout-broadcast on every binary op, which dominated
-    # the kernel (~100x slowdown) before this.
-    bc = lambda x: jnp.broadcast_to(x, (R, L))
-    rux, ruy = bc(rux_c), bc(ruy_c)
-    vx, vy = bc(vx), bc(vy)
+    # The ray x line cross products are sums of rank-1 outer products — put
+    # them on the MXU as (R, 1) @ (1, L) dots instead of VPU broadcast chains.
+    # (Mosaic can't sublane-concat row vectors into (2, L) operands.)
+    hi = jax.lax.Precision.HIGHEST
+    def outer(col, row):
+        return jnp.dot(col, row, preferred_element_type=jnp.float32,
+                       precision=hi)                          # (R, L)
 
-    # intersect(p, u, a, v) over the (R, L) product.
-    uxv = rux * vy - ruy * vx                                # (R, L)
-    pqx = bc(ax - px)                                        # (R, L)
-    pqy = bc(ay - py)
+    pqx = ax - px                                            # (1, L)
+    pqy = ay - py
+    uxv = outer(rux_c, vy) - outer(ruy_c, vx)                # (R, L)
+    t_num = outer(ruy_c, pqx) - outer(rux_c, pqy)
+    # s's numerator pq x v is ray-independent: (1, L).
+    s_num = pqx * vy - pqy * vx
+
     distant = jnp.abs(uxv) < PARALLEL_EPS
-    safe = jnp.where(distant, 1., uxv)
-    sq = jnp.where(distant, jnp.inf, (pqx * vy - pqy * vx) / safe)
-    tq = jnp.where(distant, jnp.inf, (pqx * ruy - pqy * rux) / safe)
+    # One true division (VPU divides are many-cycle); s and t share it.
+    rinv = 1. / jnp.where(distant, 1., uxv)
+    sq = jnp.where(distant, jnp.inf, s_num * rinv)
+    tq = jnp.where(distant, jnp.inf, t_num * rinv)
 
     valid = (0 <= tq) & (tq <= 1) & (near < sq) & live
 
@@ -141,7 +148,8 @@ def _raycast_kernel(res, ray_tile, env_block, half_screen_width, agent_radius,
     s_sel = select(sq)
     t_sel = select(tq)
     vlen = jnp.sqrt(vx * vx + vy * vy)                       # (1, L)
-    dotq = (rux * vx + ruy * vy) / (rlen * vlen + 1e-6)      # (R, L)
+    u_dot_v = outer(rux_c, vx) + outer(ruy_c, vy)            # (R, L)
+    dotq = u_dot_v / (rlen * vlen + 1e-6)
     dot_sel = select(dotq)
 
     nan = jnp.float32(jnp.nan)
@@ -204,6 +212,149 @@ def raycast(lines_now, lines_width, angles, positions, res, half_screen_width,
                          memory_space=pltpu.SMEM)],
         out_specs=[
             pl.BlockSpec((1, E, ray_tile), lambda n, e, c: (n, 0, c),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)])
+
+    idx, loc, dot, dist = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(flat, width3d, pose)
+
+    shape = (N, A, res)
+    return arrdict(indices=idx.reshape(shape), locations=loc.reshape(shape),
+                   dots=dot.reshape(shape), distances=dist.reshape(shape))
+
+
+def _raycast_kernel_multienv(res, ray_tile, env_block, half_screen_width,
+                             agent_radius, n_agents,
+                             lines_ref, width_ref, pose_ref,
+                             idx_ref, loc_ref, dot_ref, dist_ref):
+    """One program = env_block envs x one ray tile. The env loop is unrolled
+    inside the program (needs the raised vmem_limit_bytes: ~9 MB of scoped
+    buffers per env at ray_tile 128), so every output block is written exactly
+    once per program — the revisit/RMW pattern made consecutive programs
+    serially dependent on each other's flushes.
+
+    Blocks: lines (1, E, L, 4) VMEM - width (1, 1, E) SMEM - pose (1, E, A, 3)
+    SMEM -> outputs (1, E, ray_tile).
+    """
+    L = lines_ref.shape[2]
+    R = ray_tile
+    c = pl.program_id(1)
+    a = c * ray_tile // res
+    r0 = (c * ray_tile) % res
+
+    line_idx = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    r_iota = (r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)).astype(jnp.float32)
+    uy = half_screen_width * (res - 2 * r_iota - 1) / res    # (R, 1)
+    hi = jax.lax.Precision.HIGHEST
+
+    def outer(col, row):
+        return jnp.dot(col, row, preferred_element_type=jnp.float32, precision=hi)
+
+    outs = []
+    for e in range(env_block):
+        width = width_ref[0, 0, e]
+        lines = lines_ref[0, e]                              # (L, 4)
+        ax = lines[:, 0][None]
+        ay = lines[:, 1][None]
+        vx = (lines[:, 2] - lines[:, 0])[None]
+        vy = (lines[:, 3] - lines[:, 1])[None]
+        live = line_idx < width
+
+        ang = pose_ref[0, e, a, 0] * (jnp.pi / 180)
+        co, si = jnp.cos(ang), jnp.sin(ang)
+        px, py = pose_ref[0, e, a, 1], pose_ref[0, e, a, 2]
+
+        rux_c = co - si * uy
+        ruy_c = si + co * uy
+        rlen = jnp.sqrt(rux_c * rux_c + ruy_c * ruy_c)
+        near = agent_radius / rlen
+
+        pqx = ax - px
+        pqy = ay - py
+        uxv = outer(rux_c, vy) - outer(ruy_c, vx)            # (R, L)
+        t_num = outer(ruy_c, pqx) - outer(rux_c, pqy)
+        s_num = pqx * vy - pqy * vx                          # (1, L)
+
+        distant = jnp.abs(uxv) < PARALLEL_EPS
+        rinv = 1. / jnp.where(distant, 1., uxv)
+        sq = jnp.where(distant, jnp.inf, s_num * rinv)
+        tq = jnp.where(distant, jnp.inf, t_num * rinv)
+
+        valid = (0 <= tq) & (tq <= 1) & (near < sq) & live
+        s_masked = jnp.where(valid, sq, jnp.inf)
+        s_min = jnp.min(s_masked, axis=1, keepdims=True)
+        eligible = valid & (sq < s_min + Z_TOLERANCE)
+        idx = jnp.min(jnp.where(eligible, line_idx, L), axis=1, keepdims=True)
+        found = idx < L
+        idx = jnp.where(found, idx, 0)
+
+        onehot = line_idx == idx
+
+        def select(q):
+            return jnp.min(jnp.where(onehot, q, jnp.inf), axis=1, keepdims=True)
+
+        s_sel = select(sq)
+        t_sel = select(tq)
+        vlen = jnp.sqrt(vx * vx + vy * vy)
+        dotq = (outer(rux_c, vx) + outer(ruy_c, vy)) / (rlen * vlen + 1e-6)
+        dot_sel = select(dotq)
+
+        nan = jnp.float32(jnp.nan)
+        outs.append((
+            jnp.where(found, idx, -1).astype(jnp.int32)[:, 0][None],
+            jnp.where(found, t_sel, nan)[:, 0][None],
+            jnp.where(found, dot_sel, nan)[:, 0][None],
+            (jnp.where(found, s_sel, jnp.inf) * rlen)[:, 0][None]))
+
+    idx_ref[0] = jnp.concatenate([o[0] for o in outs], 0)
+    loc_ref[0] = jnp.concatenate([o[1] for o in outs], 0)
+    dot_ref[0] = jnp.concatenate([o[2] for o in outs], 0)
+    dist_ref[0] = jnp.concatenate([o[3] for o in outs], 0)
+
+
+@partial(jax.jit, static_argnames=('res', 'half_screen_width', 'agent_radius',
+                                   'interpret'))
+def raycast_multienv(lines_now, lines_width, angles, positions, res,
+                     half_screen_width, agent_radius, interpret=False):
+    """Multi-env-per-program variant of :func:`raycast` (A/B under evaluation)."""
+    N, A = angles.shape
+    L = lines_now.shape[1]
+    E = ENV_BLOCK if N % ENV_BLOCK == 0 else 1
+    NB = N // E
+
+    ray_tile = res
+    while ray_tile > 128 and VMEM_PER_ELEMENT * ray_tile * L * E > VMEM_BUDGET:
+        ray_tile //= 2
+
+    flat = lines_now.reshape(NB, E, L, 4)
+    width3d = lines_width.reshape(NB, 1, E).astype(jnp.int32)
+    pose = jnp.concatenate([angles[..., None], positions], -1).reshape(NB, E, A, 3)
+
+    kernel = partial(_raycast_kernel_multienv, res, ray_tile, E,
+                     float(half_screen_width), float(agent_radius), A)
+    out_shape = [
+        jax.ShapeDtypeStruct((NB, E, A * res), jnp.int32),
+        jax.ShapeDtypeStruct((NB, E, A * res), jnp.float32),
+        jax.ShapeDtypeStruct((NB, E, A * res), jnp.float32),
+        jax.ShapeDtypeStruct((NB, E, A * res), jnp.float32)]
+
+    grid_spec = pl.GridSpec(
+        grid=(NB, A * res // ray_tile),
+        in_specs=[
+            pl.BlockSpec((1, E, L, 4), lambda n, c: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E), lambda n, c: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, E, A, 3), lambda n, c: (n, 0, 0, 0),
+                         memory_space=pltpu.SMEM)],
+        out_specs=[
+            pl.BlockSpec((1, E, ray_tile), lambda n, c: (n, 0, c),
                          memory_space=pltpu.VMEM)
             for _ in range(4)])
 
