@@ -94,10 +94,16 @@ class IPythonRenderer:
 def handlers(*new_handlers):
     logger = logging.getLogger()
     old_handlers = [*logger.handlers]
+    old_level = logger.level
     try:
         logger.handlers = list(new_handlers)
+        # The handlers filter by their own level; make sure records reach them
+        # even if some earlier config raised the root level.
+        if logger.level > logging.INFO:
+            logger.setLevel(logging.INFO)
         yield
     finally:
+        logger.setLevel(old_level)
         for h in new_handlers:
             try:
                 h.acquire()
