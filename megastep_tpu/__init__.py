@@ -17,10 +17,12 @@ from .arrdict import arrdict
 
 __all__ = ['constants', 'spaces', 'geometry', 'toys', 'dotdict', 'arrdict',
            'core', 'scene', 'modules', 'ops', 'envs', 'models', 'demo',
-           'cubicasa', 'floorplans', 'plotting', 'rebar', 'parallel']
+           'cubicasa', 'floorplans', 'plotting', 'rebar', 'parallel',
+           'ragged', 'pytree']
 
 _LAZY = {'core', 'scene', 'modules', 'ops', 'envs', 'models', 'demo',
-         'cubicasa', 'floorplans', 'plotting', 'rebar', 'parallel'}
+         'cubicasa', 'floorplans', 'plotting', 'rebar', 'parallel',
+         'ragged', 'pytree'}
 
 
 def __getattr__(name):
