@@ -189,38 +189,6 @@ def onehot_any(idx, mask, T, chunk=128):
     return out.reshape(N, T)
 
 
-def weighted_lookup(values, idx_l, idx_r, w_l, w_r, chunk=128):
-    """``w_l·values[n, idx_l] + w_r·values[n, idx_r]`` as ONE weights-matmul per
-    chunk — the two-tap linear texture filter *is* a matmul, so fusing the taps
-    halves the dominant (chunk, P, T) stream vs two one-hot lookups.
-
-    :param values: (N, T, K) table.
-    :param idx_l/idx_r: (N, P) int32 tap indices.
-    :param w_l/w_r: (N, P) f32 tap weights.
-    :return: (N, P, K) f32.
-    """
-    N, T, K = values.shape
-    P = idx_l.shape[1]
-    C = min(chunk, N)
-    while N % C:
-        C //= 2
-
-    def body(args):
-        v, il, ir, wl, wr = args
-        t = jnp.arange(T)[None, None]
-        weights = (wl[:, :, None] * (il[:, :, None] == t)
-                   + wr[:, :, None] * (ir[:, :, None] == t))  # (C, P, T)
-        return jnp.einsum('cpt,ctk->cpk', weights, v,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    out = jax.lax.map(body, (values.reshape(N // C, C, T, K),
-                             idx_l.reshape(N // C, C, P),
-                             idx_r.reshape(N // C, C, P),
-                             w_l.reshape(N // C, C, P),
-                             w_r.reshape(N // C, C, P)))
-    return out.reshape(N, P, K)
-
-
 def shade(scenery, rc, baked_now, method=None):
     """Texture lookup + lighting + Lambert shading per pixel (``shader_kernel``,
     ``kernels.cu:407-450``). Returns the (N, A, R, 3) linear-RGB screen; misses are

@@ -24,8 +24,6 @@ def test_dict_output():
     assert logits.move.shape == (2, 1, 4)
     assert logits.turn.shape == (2, 1, 3)
 
-    actions = out.apply(params, logits, jax.random.PRNGKey(1), False,
-                        method=out.sample) if False else None
     # sample via the bound module (setup-defined submodules need an apply ctx)
     def sample(m, l):
         return m.sample(jax.random.PRNGKey(1), l)
