@@ -91,13 +91,21 @@ def raycast(lines_now, lines_width, angles, positions, res, half_screen_width,
     idx = jnp.argmax(eligible, -1).astype(jnp.int32)                      # first eligible
     found = eligible.any(-1)
 
-    # Recompute the intersection for the selected line only (cheap third pass).
-    flat = lines_now.reshape(N, L, 4)
-    sel = jnp.take_along_axis(flat, idx.reshape(N, A * res, 1), 1)
-    sel = sel.reshape(N, A, res, 2, 2)
-    sa, sv = sel[..., 0, :], sel[..., 1, :] - sel[..., 0, :]
-    s_sel, t_sel = geom.intersect(positions[:, :, None, :], ru, sa, sv)
-    dot_sel = geom.dot(ru, sv) / (rlen * geom.length(sv) + 1e-6)
+    # Read the winner's s/t/dot off the already-computed products with masked
+    # min-selects (exactly one lane is non-inf) — no per-pixel line gather, no
+    # third intersection pass, and bit-identical to the Pallas kernel.
+    onehot = jnp.arange(L)[None, None, None] == idx[..., None]            # (N, A, R, L)
+
+    def select(q):
+        return jnp.where(onehot, q, jnp.inf).min(-1)                      # (N, A, R)
+
+    s_sel = select(sq)
+    t_sel = select(tq)
+    vlen = geom.length(lv)                                                # (N, L)
+    u_dot_v = jnp.einsum('nark,nlk->narl', ru, lv,
+                         precision=jax.lax.Precision.HIGHEST)
+    dotq = u_dot_v / (rlen[..., None] * vlen[:, None, None] + 1e-6)
+    dot_sel = select(dotq)
 
     nan = jnp.float32(jnp.nan)
     return arrdict(
