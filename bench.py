@@ -82,18 +82,34 @@ def main():
     res = args.res or (512 if args.kind == 'deathmatch' else 256)
     baseline = DM_BASELINE_FPS if args.kind == 'deathmatch' else BASELINE_FPS
 
+    import gc
+    import sys
+
+    def attempt_once(n):
+        env = build(n, res=res, kind=args.kind)
+        return bench(env, steps=args.steps)
+
     n_envs = args.envs
+    fps = None
     while n_envs >= 256:
-        try:
-            env = build(n_envs, res=res, kind=args.kind)
-            fps = bench(env, steps=args.steps)
+        # The remote-compile tunnel fails transiently; retry before shrinking.
+        for attempt in range(2):
+            try:
+                fps = attempt_once(n_envs)
+                break
+            except Exception as e:
+                print(f'attempt {attempt} at {n_envs} envs failed '
+                      f'({type(e).__name__}: {str(e)[:200]})', file=sys.stderr)
+                # Drop the traceback's frame references (they pin the failed
+                # attempt's device buffers) before retrying/shrinking.
+                e.__traceback__ = None
+                gc.collect()
+                jax.clear_caches()
+        if fps is not None:
             break
-        except Exception as e:
-            import sys
-            print(f'failed at {n_envs} envs ({type(e).__name__}); halving',
-                  file=sys.stderr)
-            n_envs //= 2
-    else:
+        print(f'halving from {n_envs} envs', file=sys.stderr)
+        n_envs //= 2
+    if fps is None:
         raise RuntimeError('bench failed at every env count')
 
     print(json.dumps({

@@ -101,11 +101,12 @@ def raycast(lines_now, lines_width, angles, positions, res, half_screen_width,
 
     s_sel = select(sq)
     t_sel = select(tq)
-    vlen = geom.length(lv)                                                # (N, L)
-    u_dot_v = jnp.einsum('nark,nlk->narl', ru, lv,
-                         precision=jax.lax.Precision.HIGHEST)
-    dotq = u_dot_v / (rlen[..., None] * vlen[:, None, None] + 1e-6)
-    dot_sel = select(dotq)
+    # Select the winner's direction vector and finish the dot on (N, A, R) —
+    # cheaper than a third (N, A, R, L) contraction.
+    sel_vx = select(jnp.broadcast_to(lv[:, None, None, :, 0], onehot.shape))
+    sel_vy = select(jnp.broadcast_to(lv[:, None, None, :, 1], onehot.shape))
+    sel_vlen = jnp.sqrt(sel_vx * sel_vx + sel_vy * sel_vy)
+    dot_sel = (ru[..., 0] * sel_vx + ru[..., 1] * sel_vy) / (rlen * sel_vlen + 1e-6)
 
     nan = jnp.float32(jnp.nan)
     return arrdict(
@@ -213,10 +214,12 @@ def shade(scenery, rc, baked_now, method=None):
     P = idx[0].size
 
     if method == 'onehot':
-        # Line attrs and both texel taps as one-hot matmuls; rgb+baked are fused
-        # into one (N, T, 4) table so each tap is a single lookup. (A fused
-        # weights-matmul of both taps measured a wash — the weight-matrix
-        # construction costs what the second tap saves.)
+        # Line attrs as a one-hot matmul; then BOTH texel taps from a single
+        # one-hot pass: the filter's taps are adjacent (r = l+1, or r = l at the
+        # clamped edges), so one (P, T) one-hot against [table ‖ roll(table, -1)]
+        # yields texel l in cols 0-3 and texel l+1 in cols 4-7 — halving the
+        # dominant (chunk, P, T) stream. (A weights-matmul fusing the tap
+        # weights instead measured a wash.)
         attrs = jnp.stack([scenery.line_tex_starts, scenery.line_tex_widths],
                           -1).astype(jnp.float32)
         sw = onehot_lookup(attrs, idx.reshape(N, P)).reshape(*idx.shape, 2)
@@ -225,8 +228,10 @@ def shade(scenery, rc, baked_now, method=None):
         l, r, lw, rw = tex_filter(loc, width)
 
         table = jnp.concatenate([scenery.textures, baked_now[..., None]], -1)
-        tap_l = onehot_lookup(table, (start + l).reshape(N, P)).reshape(*idx.shape, 4)
-        tap_r = onehot_lookup(table, (start + r).reshape(N, P)).reshape(*idx.shape, 4)
+        both = jnp.concatenate([table, jnp.roll(table, -1, axis=1)], -1)
+        taps = onehot_lookup(both, (start + l).reshape(N, P)).reshape(*idx.shape, 8)
+        tap_l = taps[..., :4]
+        tap_r = jnp.where((r == l)[..., None], tap_l, taps[..., 4:])
         tex_l, tex_r = tap_l[..., :3], tap_r[..., :3]
         intensity = lw * tap_l[..., 3] + rw * tap_r[..., 3]
     else:
