@@ -106,10 +106,17 @@ def ppo_loss(apply, params, batch, state0, entropy=1e-2, gamma=.99, clip=.2):
     return loss, aux
 
 
+def optimizer(lr=3e-4, max_grad_norm=100.):
+    """The demo optimizer: Adam(amsgrad) behind a global-norm-100 gradient clip
+    (reference ``demo/__init__.py:78-81`` — ``clip_grad_norm_(..., 100)`` then
+    ``Adam(3e-4, amsgrad=True)``)."""
+    return optax.chain(optax.clip_by_global_norm(max_grad_norm), optax.amsgrad(lr))
+
+
 def optimize(apply, opt, params, opt_state, batch, state0, **hp):
-    """One gradient step on one minibatch. Returns
-    ``(params, opt_state, aux)`` with gradients clipped at global-norm 100
-    (reference ``demo/__init__.py:76-81``)."""
+    """One gradient step on one minibatch. Returns ``(params, opt_state, aux)``.
+    Gradient clipping lives in the optimizer chain (:func:`optimizer`), matching
+    the reference ``demo/__init__.py:76-81``."""
     (loss, aux), grads = jax.value_and_grad(
         lambda p: ppo_loss(apply, p, batch, state0, **hp), has_aux=True)(params)
     updates, opt_state = opt.update(grads, opt_state, params)
@@ -185,27 +192,40 @@ def init_carry(env, agent, opt, key):
 
 
 def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
-          width=256, lr=3e-4, steps=None, run_name=None, seed=0, **hp):
+          width=256, lr=3e-4, steps=None, run_name=None, seed=0, resume=None,
+          **hp):
     """The training entry point (reference ``train()``,
-    ``demo/__init__.py:109-148``): Explorer + 256-wide LSTM agent + Adam(amsgrad),
-    stats and throttled checkpoints to the run directory. Runs until interrupted
-    (or for ``steps`` chunks)."""
+    ``demo/__init__.py:109-148``): Explorer + 256-wide LSTM agent + clipped
+    Adam(amsgrad), stats and throttled checkpoints to the run directory. Runs
+    until interrupted (Ctrl-C is deferred to a chunk boundary) or for ``steps``
+    chunks.
+
+    :param resume: a run name (or negative index) whose latest checkpoint to
+        load params from before training — the resume half of the reference's
+        manual ``storing.load`` → ``load_state_dict`` flow
+        (``demo/__init__.py:155-156``).
+    """
     from ..envs import Explorer
-    from ..rebar import paths, stats, storing, widgets
+    from ..rebar import interrupting, paths, stats, storing, widgets
     from ..rebar import logging as rlogging
 
     env = Explorer(n_envs) if env is None else env
     agent = Agent(env.obs_space, env.action_space, width=width)
-    opt = optax.amsgrad(lr)
+    opt = optimizer(lr)
 
     key = jax.random.PRNGKey(seed)
     carry = init_carry(env, agent, opt, key)
+    if resume is not None:
+        carry['params'] = jax.tree_util.tree_map(
+            jnp.asarray, storing.load(resume)['agent'])
+        log.info('resumed params from run %r', resume)
     step = jax.jit(make_train_step(env, agent, opt, buffer_size, batch_size, **hp))
 
     run_name = run_name or f'{time.strftime("%Y-%m-%d %H%M%S")} {type(env).__name__}'
     paths.clear(run_name)
     compositor = widgets.Compositor()
-    with rlogging.via_dir(run_name, compositor), stats.via_dir(run_name, compositor):
+    with rlogging.via_dir(run_name, compositor), stats.via_dir(run_name, compositor), \
+            interrupting.interrupter() as interrupt:
         i = 0
         while steps is None or i < steps:
             key, k = jax.random.split(key)
@@ -222,6 +242,7 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
                 run_name, dict(agent=jax.device_get(carry.params)), throttle=60)
             log.info('step %d done', i)
             i += 1
+            interrupt.check()
     return carry
 
 

@@ -42,6 +42,12 @@ class Deathmatch:
 
     :param n_envs: total sub-env count; there are ``n_envs // n_agents`` scenes.
     :param n_agents: agents per scene.
+
+    Deliberate divergence: the reference computes the scene count as
+    ``max(n_envs // 4, 1)`` regardless of ``n_agents`` (``deathmatch.py:23``), so
+    its ``n_envs`` accounting only holds at the default ``n_agents=4``. Here the
+    scene count is ``n_envs // n_agents`` so ``n_envs == n_scenes * n_agents``
+    always holds (identical at the default; see PARITY.md).
     """
 
     def __init__(self, n_envs, n_agents=4, geometries=None, subsample=4, **kwargs):

@@ -53,6 +53,13 @@ def shard_carry(carry, m):
         agent_state=_tree_with(carry.agent_state, env_sharding(m)))
 
 
+# Env-pytree leaves that are replicated tables regardless of their leading dim:
+# the shared agent model octagon and the movement-system action sets. Matching by
+# path (not by a coincidental dim-0 == n_envs) keeps e.g. a (7, 2) action table at
+# n_envs=7 from being silently env-sharded.
+_REPLICATED_LEAF_NAMES = ('model', '_actionset')
+
+
 def shard_env(env, m):
     """Sharding tree for an env pytree: scenery/spawn-table leaves (leading dim ==
     n_envs) split over the env axis, everything else (action tables, the shared
@@ -60,11 +67,15 @@ def shard_env(env, m):
     ns = {env.n_envs}
     if hasattr(env, 'core'):
         ns.add(env.core.n_envs)  # agent-as-env layouts (Deathmatch) scene-shard
-    def rule(x):
+
+    def rule(path, x):
+        names = {getattr(k, 'name', getattr(k, 'key', None)) for k in path}
+        if names & set(_REPLICATED_LEAF_NAMES):
+            return replicated(m)
         if hasattr(x, 'shape') and x.ndim >= 1 and x.shape[0] in ns:
             return env_sharding(m)
         return replicated(m)
-    return jax.tree_util.tree_map(rule, env)
+    return jax.tree_util.tree_map_with_path(rule, env)
 
 
 def place_env(env, m):

@@ -20,7 +20,6 @@ import argparse
 import time
 
 import jax
-import optax
 
 
 def measure(n_envs, n_devices=None, width=256, buffer_size=32, steps=3,
@@ -32,14 +31,14 @@ def measure(n_envs, n_devices=None, width=256, buffer_size=32, steps=3,
     from .. import floorplans
     from ..envs import Explorer
     from ..models import Agent
-    from ..demo.train import init_carry, make_train_step
+    from ..demo.train import init_carry, make_train_step, optimizer
     from .mesh import mesh, place_carry, place_env, replicated, shard_carry, shard_env
 
     geoms = floorplans.sample(min(n_envs, 512))
     geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
     env = Explorer(n_envs, geometries=geoms, res=res)
     agent = Agent(env.obs_space, env.action_space, width=width)
-    opt = optax.amsgrad(3e-4)
+    opt = optimizer()
 
     m = mesh(n_devices)
     key = jax.random.PRNGKey(seed)

@@ -49,6 +49,12 @@ def pytree(*array_fields):
     fields = tuple(array_fields)
 
     def deco(cls):
+        def flatten_with_keys(obj):
+            children = tuple((jax.tree_util.GetAttrKey(f), getattr(obj, f))
+                             for f in fields)
+            aux = {k: v for k, v in obj.__dict__.items() if k not in fields}
+            return children, _Static(aux)
+
         def flatten(obj):
             children = tuple(getattr(obj, f) for f in fields)
             aux = {k: v for k, v in obj.__dict__.items() if k not in fields}
@@ -61,7 +67,8 @@ def pytree(*array_fields):
                 obj.__dict__[f] = c
             return obj
 
-        jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+        jax.tree_util.register_pytree_with_keys(
+            cls, flatten_with_keys, unflatten, flatten_func=flatten)
         return cls
 
     return deco

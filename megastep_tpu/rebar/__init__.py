@@ -17,4 +17,4 @@ from . import paths, numpy, stats, storing, parallel, widgets, interrupting  # n
 
 __all__ = ['dotdict', 'arrdict', 'paths', 'numpy', 'stats', 'storing', 'parallel',
            'widgets', 'interrupting', 'logging', 'recording', 'fsm', 'plots',
-           'queuing', 'processes', 'recurrence', 'contextlib']
+           'queuing', 'processes', 'contextlib']

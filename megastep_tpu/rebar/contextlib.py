@@ -1,44 +1,42 @@
-"""Dual sync/async context managers.
+"""Context managers usable from both ``with`` and ``async with``.
 
-Counterpart of the reference ``rebar/contextlib.py``: decorate a generator function
-once and get a context manager usable with both ``with`` and ``async with``.
+Role counterpart of the reference ``rebar/contextlib.py`` (its
+``maybeasynccontextmanager`` wraps the generator twice, once per protocol).
+Here the async protocol simply delegates to the sync one: the managed bodies
+(log/stat writer installation) are synchronous either way, so ``__aenter__`` /
+``__aexit__`` are thin awaitable shims over ``__enter__`` / ``__exit__``.
 """
-from contextlib import asynccontextmanager, contextmanager
+from contextlib import contextmanager
 from functools import wraps
 
 
-class MaybeAsyncGeneratorContextManager:
+class _DualProtocol:
+    """Adapts one sync context manager to both protocols."""
 
-    def __init__(self, func, args, kwargs):
-        self._func = func
-        self._args = args
-        self._kwargs = kwargs
-        self._sync = None
-        self._async = None
+    __slots__ = ('_cm',)
+
+    def __init__(self, cm):
+        self._cm = cm
 
     def __enter__(self):
-        if self._sync is None:
-            self._sync = contextmanager(self._func)(*self._args, **self._kwargs)
-        return self._sync.__enter__()
+        return self._cm.__enter__()
 
-    def __exit__(self, t, v, tb):
-        return self._sync.__exit__(t, v, tb)
+    def __exit__(self, exc_type, exc, tb):
+        return self._cm.__exit__(exc_type, exc, tb)
 
-    def __aenter__(self):
-        if self._async is None:
-            @asynccontextmanager
-            async def asyncfunc(*args, **kwargs):
-                with contextmanager(self._func)(*args, **kwargs) as v:
-                    yield v
-            self._async = asyncfunc(*self._args, **self._kwargs)
-        return self._async.__aenter__()
+    async def __aenter__(self):
+        return self.__enter__()
 
-    def __aexit__(self, t, v, tb):
-        return self._async.__aexit__(t, v, tb)
+    async def __aexit__(self, exc_type, exc, tb):
+        return self.__exit__(exc_type, exc, tb)
 
 
 def maybeasynccontextmanager(func):
+    """Like :func:`contextlib.contextmanager`, but the result also supports
+    ``async with`` (entering/exiting synchronously)."""
+    sync = contextmanager(func)
+
     @wraps(func)
-    def helper(*args, **kwargs):
-        return MaybeAsyncGeneratorContextManager(func, args, kwargs)
-    return helper
+    def make(*args, **kwargs):
+        return _DualProtocol(sync(*args, **kwargs))
+    return make

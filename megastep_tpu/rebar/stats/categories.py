@@ -1,106 +1,153 @@
-"""Metric categories: each names a write schema and a resample reduction.
+"""Metric categories: each declares a row schema and a resample reduction.
 
-Counterpart of the reference ``rebar/stats/categories.py:15-94``. A category is a
-function whose *signature* is the row schema written to disk and whose return value
-is a resampler mapping the stored pandas columns to a display series.
+Role counterpart of the reference ``rebar/stats/categories.py:15-94``, redesigned
+declaratively: a :class:`Category` owns its on-disk row schema (field names +
+defaults — the part that IS the file format and must match what writers record)
+and a ``reduce(df, **resample_kwargs)`` turning the stored frame into a display
+series. Writers bind rows via :meth:`Category.row`; readers call
+:meth:`Category.reduce`; categories without a reduction (raw sample streams) are
+skipped by tabular resampling and consumed by plots directly.
+
+Reduction semantics (what each category *means*):
+
+========== ==============================================================
+last       most recent value in the bucket
+max        largest value in the bucket
+mean       Σtotal / Σcount (a ratio of bucket means — robust to write rate)
+std        standard deviation of values in the bucket
+cumsum     running total of all values so far
+timeaverage wall-clock-weighted mean (irregularly sampled gauges)
+duty       fraction of wall-clock spent inside the timed section
+rate       events per second of wall-clock
+period     seconds of wall-clock per event
+maxrate    events per second of *measured* duration (peak capability)
+dist       raw sample stream (no tabular reduction; histogram consumers)
+noisescale Σbatch-var / Σgrad-sq — the gradient-noise-scale estimator
+========== ==============================================================
 """
 import pandas as pd
 
-CATEGORIES = {}
+REQUIRED = object()
 
 
-def category(f):
-    CATEGORIES[f.__name__.lower()] = f
-    return f
+class Category:
+    """One metric category.
+
+    :param schema: ordered ``{field: default}``; ``REQUIRED`` marks positional
+        fields. This ordering is the on-disk record layout.
+    :param reduce: ``f(df, **resample_kwargs) -> Series`` or None for raw streams.
+    """
+
+    def __init__(self, name, schema, reduce=None):
+        self.name = name
+        self.schema = dict(schema)
+        self._reduce = reduce
+
+    def row(self, *args, **kwargs):
+        """Binds call args against the schema into one record dict (the
+        writer-side counterpart of the reference's ``inspect.getcallargs``)."""
+        fields = list(self.schema)
+        if len(args) > len(fields):
+            raise TypeError(f'{self.name} takes {len(fields)} fields, got {len(args)}')
+        row = dict(zip(fields, args))
+        for k, v in kwargs.items():
+            if k not in self.schema:
+                raise TypeError(f'{self.name} has no field {k!r}')
+            if k in row:
+                raise TypeError(f'{self.name} got duplicate field {k!r}')
+            row[k] = v
+        for f, default in self.schema.items():
+            if f not in row:
+                if default is REQUIRED:
+                    raise TypeError(f'{self.name} missing required field {f!r}')
+                row[f] = default
+        return row
+
+    @property
+    def reducible(self):
+        return self._reduce is not None
+
+    def reduce(self, df, **kwargs):
+        if self._reduce is None:
+            raise ValueError(f'category {self.name!r} has no tabular reduction')
+        return self._reduce(df, **kwargs)
 
 
-@category
-def last(x):
-    def resample(**kwargs):
-        return x.resample(**kwargs).last()
-    return resample
+def _bucket_seconds(resampled):
+    """Seconds per resample bucket, capped by the data's actual span (so a
+    short run isn't averaged over a full, mostly-empty bucket)."""
+    freq_s = pd.to_timedelta(resampled.index.freq).total_seconds()
+    if len(resampled.index) > 1:
+        span = (resampled.index[-1] - resampled.index[0]).total_seconds()
+        freq_s = min(freq_s, span or freq_s)
+    return freq_s
 
 
-@category
-def max(x):
-    def resample(**kwargs):
-        return x.resample(**kwargs).max()
-    return resample
+def _last(df, **kw):
+    return df['x'].resample(**kw).last()
 
 
-@category
-def mean(total, count=1):
-    def resample(**kwargs):
-        return total.resample(**kwargs).mean() / count.resample(**kwargs).mean()
-    return resample
+def _max(df, **kw):
+    return df['x'].resample(**kw).max()
 
 
-@category
-def std(x):
-    def resample(**kwargs):
-        return x.resample(**kwargs).std()
-    return resample
+def _mean(df, **kw):
+    r = df.resample(**kw)
+    return r['total'].mean() / r['count'].mean()
 
 
-@category
-def cumsum(total=1):
-    def resample(**kwargs):
-        return total.resample(**kwargs).sum().cumsum()
-    return resample
+def _std(df, **kw):
+    return df['x'].resample(**kw).std()
 
 
-@category
-def timeaverage(x):
-    def resample(**kwargs):
-        y = x.sort_index()
-        dt = y.index.to_series().diff().dt.total_seconds()
-        return (y * dt).resample(**kwargs).mean() / dt.resample(**kwargs).mean()
-    return resample
+def _cumsum(df, **kw):
+    return df['total'].resample(**kw).sum().cumsum()
 
 
-@category
-def duty(duration):
-    def resample(**kwargs):
-        sums = duration.resample(**kwargs).sum()
-        periods = sums.index.to_series().diff().dt.total_seconds()
-        return sums / periods
-    return resample
+def _timeaverage(df, **kw):
+    x = df['x'].sort_index()
+    dt = x.index.to_series().diff().dt.total_seconds()
+    weighted = (x * dt).resample(**kw).mean()
+    return weighted / dt.resample(**kw).mean()
 
 
-@category
-def maxrate(duration, count=1):
-    def resample(**kwargs):
-        return count.resample(**kwargs).mean() / duration.resample(**kwargs).mean()
-    return resample
+def _duty(df, **kw):
+    busy = df['duration'].resample(**kw).sum()
+    elapsed = busy.index.to_series().diff().dt.total_seconds()
+    return busy / elapsed
+
+def _rate(df, **kw):
+    counts = df['count'].resample(**kw).sum()
+    return counts / _bucket_seconds(counts)
 
 
-@category
-def rate(count=1):
-    def resample(**kwargs):
-        counts = count.resample(**kwargs).sum()
-        dt = pd.to_timedelta(counts.index.freq).total_seconds()
-        dt = min(dt, (count.index[-1] - count.index[0]).total_seconds() or dt)
-        return counts / dt
-    return resample
+def _period(df, **kw):
+    counts = df['count'].resample(**kw).sum()
+    return _bucket_seconds(counts) / counts
 
 
-@category
-def period(count=1):
-    def resample(**kwargs):
-        counts = count.resample(**kwargs).sum()
-        dt = pd.to_timedelta(counts.index.freq).total_seconds()
-        dt = min(dt, (count.index[-1] - count.index[0]).total_seconds() or dt)
-        return dt / counts
-    return resample
+def _maxrate(df, **kw):
+    r = df.resample(**kw)
+    return r['count'].mean() / r['duration'].mean()
 
 
-@category
-def dist(samples, size=10000):
-    return samples
+def _noisescale(df, **kw):
+    r = df.resample(**kw)
+    return r['S'].mean() / r['G2'].mean()
 
 
-@category
-def noisescale(S, G2, B):
-    def resample(**kwargs):
-        return S.resample(**kwargs).mean() / G2.resample(**kwargs).mean()
-    return resample
+CATEGORIES = {c.name: c for c in [
+    Category('last', {'x': REQUIRED}, _last),
+    Category('max', {'x': REQUIRED}, _max),
+    Category('mean', {'total': REQUIRED, 'count': 1}, _mean),
+    Category('std', {'x': REQUIRED}, _std),
+    Category('cumsum', {'total': 1}, _cumsum),
+    Category('timeaverage', {'x': REQUIRED}, _timeaverage),
+    Category('duty', {'duration': REQUIRED}, _duty),
+    Category('maxrate', {'duration': REQUIRED, 'count': 1}, _maxrate),
+    Category('rate', {'count': 1}, _rate),
+    Category('period', {'count': 1}, _period),
+    Category('dist', {'samples': REQUIRED, 'size': 10000}, None),
+    Category('noisescale', {'S': REQUIRED, 'G2': REQUIRED, 'B': REQUIRED},
+             _noisescale),
+]}

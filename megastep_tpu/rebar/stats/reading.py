@@ -71,8 +71,9 @@ class Reader:
         kwargs = {'rule': rule, **kwargs}
         results = {}
         for (category, field), df in self.pandas().items():
-            func = categories.CATEGORIES[category]
-            results[field] = func(**{k: df[k] for k in df})(**kwargs)
+            cat = categories.CATEGORIES[category]
+            if cat.reducible:
+                results[field] = cat.reduce(df, **kwargs)
 
         if results:
             df = pd.concat(results, axis=1)

@@ -9,7 +9,6 @@ device→host transfer, instead of one sync per metric
 Writer functions are generated per category: ``mean('loss', x)``,
 ``rate('sample-rate', n)``, etc.
 """
-import inspect
 from contextlib import contextmanager
 from functools import partial
 
@@ -56,10 +55,9 @@ def clean(x):
 
 
 def _write(category, field, args, kwargs):
-    func = categories.CATEGORIES[category]
-    call = inspect.getcallargs(func, *args, **kwargs)
-    call = {'_time': np.datetime64('now'), **call}
-    WRITER.write(f'{category}/{field}', call)
+    row = categories.CATEGORIES[category].row(*args, **kwargs)
+    row = {'_time': np.datetime64('now'), **row}
+    WRITER.write(f'{category}/{field}', row)
 
 
 def eager_record(category, field, *args, **kwargs):

@@ -14,5 +14,9 @@ python -m pip wheel --no-deps -w "$TMP" . >/dev/null
 python -m pip install --no-deps --target "$TMP/site" "$TMP"/megastep_tpu-*.whl >/dev/null
 
 # Run the test suite against the *installed* package from a scratch dir.
+# PALLAS_AXON_POOL_IPS is unset so sitecustomize skips axon-pool registration:
+# CPU-only runs then compile locally instead of through the (flaky, slow)
+# remote-compile tunnel.
 cp -r tests pyproject.toml "$TMP/"
-(cd "$TMP" && PYTHONPATH="$TMP/site" python -m pytest tests/ -q "$@")
+(cd "$TMP" && env -u PALLAS_AXON_POOL_IPS PYTHONPATH="$TMP/site" \
+    python -m pytest tests/ -q "$@")

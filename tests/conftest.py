@@ -6,7 +6,9 @@ Must run before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force, not setdefault: the ambient environment pins JAX_PLATFORMS=axon (the
+# TPU tunnel); this suite is CPU-mesh by design.
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()

@@ -77,11 +77,48 @@ def test_golden_render_stats(sim):
 
     assert bool((r.indices >= 8).all())           # walls only (8 model lines first)
     d = np.asarray(r.distances[0, 0])
-    # Ray fan inside a convex box: min distance at normal incidence.
-    assert 2.0 < d.min() < 4.2 and d.max() < 8.
     s = np.asarray(r.screen[0, 0])
     assert (s > 0).any() and s.max() <= 1. and s.min() >= 0.
-    # The same pose must render identically forever.
-    np.testing.assert_allclose(float(r.distances.mean()), float(r.distances.mean()))
-    golden_mean = float(np.asarray(c.render(agents).distances.mean()))
-    np.testing.assert_allclose(float(r.distances.mean()), golden_mean, rtol=1e-6)
+    # Hard-coded frozen constants (box scenery, seed 7, pose (3.5, 3.5) @ 30°):
+    # any silent change to raycast/shade math shows up here.
+    np.testing.assert_allclose(d.mean(), 2.7179689, rtol=1e-5)
+    np.testing.assert_allclose(d.min(), 2.5000422, rtol=1e-5)
+    np.testing.assert_allclose(d.max(), 3.4305263, rtol=1e-5)
+    np.testing.assert_allclose(s.sum(), 10.617100, rtol=1e-4)
+    assert int(np.asarray(r.indices).sum()) == 620
+    np.testing.assert_allclose(np.asarray(r.locations[0, 0]).mean(), 0.4114983,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r.dots[0, 0]).mean(), -0.1577556,
+                               rtol=1e-4)
+
+
+def test_golden_momentum_floorplan():
+    """Frozen 12-step MomentumMovement trajectory + render on a multi-wall
+    procedural floorplan — the cross-module regression freeze (movement ×
+    physics × spawns × raycast × shade)."""
+    from megastep_tpu import floorplans
+    geoms = floorplans.sample(2)
+    scn = scene.scenery(geoms, n_agents=1, random=np.random.RandomState(3))
+    c = core.Core(scn, res=64, fov=130, fps=10)
+    mover = modules.MomentumMovement(c)
+    spawner = modules.RandomSpawns(geoms, c)
+    agents = spawner(c.init_agents(), c.agent_full(True), jax.random.PRNGKey(11))
+    actions = jnp.asarray([1, 1, 3, 1, 4, 5, 1, 1, 6, 1, 2, 1])[:, None, None]
+
+    def step(ag, a):
+        ag, progress = mover(ag, arrdict(actions=a))
+        return ag, progress
+
+    agents, progress = jax.lax.scan(step, agents, actions)
+    np.testing.assert_allclose(
+        np.asarray(agents.positions),
+        [[[10.10981, 8.475163]], [[5.1072445, 12.9339285]]], rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(agents.angles), [[-87.92169], [148.87762]], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(progress), 1., atol=1e-6)
+
+    r = c.render(agents)
+    d = np.asarray(r.distances)
+    np.testing.assert_allclose(np.where(np.isfinite(d), d, 0).mean(), 3.2505078,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(r.screen).sum(), 25.021202, rtol=1e-4)

@@ -108,3 +108,89 @@ def test_pytree_static_equality():
     # The same instance flattens to an equal treedef (jit cache hit).
     _, treedef2 = jax.tree_util.tree_flatten(env)
     assert treedef == treedef2
+
+
+def test_interrupter_defers_and_escalates():
+    """First SIGINT defers to check(); second raises immediately
+    (``rebar/interrupting.py``)."""
+    import os
+    import signal
+    from megastep_tpu.rebar import interrupting
+
+    with interrupting.interrupter() as interrupt:
+        interrupt.check()  # nothing pending
+        os.kill(os.getpid(), signal.SIGINT)
+        with pytest.raises(KeyboardInterrupt):
+            interrupt.check()
+        interrupt.check()  # flag cleared by the raise
+        # Second Ctrl-C before a check escalates inside the handler itself.
+        os.kill(os.getpid(), signal.SIGINT)
+        with pytest.raises(KeyboardInterrupt):
+            os.kill(os.getpid(), signal.SIGINT)
+
+
+def test_maybeasync_context_both_protocols():
+    """The dual context manager runs its body under both ``with`` and
+    ``async with`` (``rebar/contextlib.py``)."""
+    import asyncio
+    from megastep_tpu.rebar.contextlib import maybeasynccontextmanager
+
+    events = []
+
+    @maybeasynccontextmanager
+    def ctx(tag):
+        events.append(f'enter-{tag}')
+        try:
+            yield tag
+        finally:
+            events.append(f'exit-{tag}')
+
+    with ctx('sync') as v:
+        assert v == 'sync'
+
+    async def use():
+        async with ctx('async') as v:
+            assert v == 'async'
+    asyncio.run(use())
+    assert events == ['enter-sync', 'exit-sync', 'enter-async', 'exit-async']
+
+
+def test_category_schema_binding():
+    """Writer-side schema binding: positional/keyword/defaulted fields, with
+    errors on missing or unknown fields (``rebar/stats/categories.py``)."""
+    from megastep_tpu.rebar.stats import categories
+
+    mean = categories.CATEGORIES['mean']
+    assert mean.row(3.) == {'total': 3., 'count': 1}
+    assert mean.row(3., 2) == {'total': 3., 'count': 2}
+    assert mean.row(total=3., count=5) == {'total': 3., 'count': 5}
+    with pytest.raises(TypeError):
+        mean.row()
+    with pytest.raises(TypeError):
+        mean.row(1., bogus=2)
+    with pytest.raises(TypeError):
+        mean.row(1., 2, total=3.)
+    assert not categories.CATEGORIES['dist'].reducible
+
+
+def test_category_reductions():
+    """Reader-side reductions: mean is Σtotal/Σcount per bucket; cumsum is a
+    running total; rate divides by wall-clock."""
+    import pandas as pd
+    from megastep_tpu.rebar.stats import categories
+
+    idx = pd.to_datetime(['2026-01-01 00:00:00', '2026-01-01 00:00:30',
+                          '2026-01-01 00:01:10'])
+    mean = categories.CATEGORIES['mean'].reduce(
+        pd.DataFrame({'total': [2., 4., 9.], 'count': [1, 1, 3]}, index=idx),
+        rule='60s')
+    np.testing.assert_allclose(mean.values, [3., 3.])  # (2+4)/2, 9/3
+
+    cum = categories.CATEGORIES['cumsum'].reduce(
+        pd.DataFrame({'total': [1., 2., 3.]}, index=idx), rule='60s')
+    np.testing.assert_allclose(cum.values, [3., 6.])
+
+    rate = categories.CATEGORIES['rate'].reduce(
+        pd.DataFrame({'count': [10, 20, 40]}, index=idx), rule='60s')
+    # 70 events over the 70 s span, bucketed 60 s: first bucket 30 events.
+    np.testing.assert_allclose(rate.values[0], 30 / 60)
