@@ -21,7 +21,7 @@ from ..dotdict import dotdict
 from ..pytree import pytree
 
 
-@pytree('core', '_rgb', '_depth', '_mover', '_imu', '_respawner')
+@pytree('core', '_rgb', '_depth', '_mover', '_imu', '_respawner', '_table8')
 class Explorer:
     """Exploration env over multi-room floorplans: RGB + depth + IMU observations,
     momentum movement, reward per newly-seen texel.
@@ -29,9 +29,13 @@ class Explorer:
     :param n_envs: number of environments.
     :param geometries: optional geometry list; defaults to :func:`cubicasa.sample`
         (with an offline procedural fallback).
+    :param fused: use the fused observe kernel (raycast + shade + seen counts in
+        one Pallas program, :mod:`megastep_tpu.ops.fused`). ``None`` (default)
+        enables it on TPU; the split jnp pipeline otherwise. Both paths are
+        tested equivalent.
     """
 
-    def __init__(self, n_envs, geometries=None, subsample=4, **kwargs):
+    def __init__(self, n_envs, geometries=None, subsample=4, fused=None, **kwargs):
         geometries = cubicasa.sample(n_envs) if geometries is None else geometries
         scenery = scene.scenery(geometries, 1)
         self.core = core.Core(scenery, res=kwargs.pop('res', 4 * 64),
@@ -41,12 +45,21 @@ class Explorer:
         self._mover = modules.MomentumMovement(self.core)
         self._imu = modules.IMU(self.core)
         self._respawner = modules.RandomSpawns(geometries, self.core)
+        self.fused = fused
+        # The shade table is static for a single-agent env (no dynamic re-bake);
+        # pre-packed once for the fused kernel.
+        from ..ops import fused as fused_ops
+        self._table8 = fused_ops.pack_table8(scenery)
 
         self.action_space = self._mover.space
         self.obs_space = dotdict(
             rgb=self._rgb.space,
             d=self._depth.space,
             imu=self._imu.space)
+
+    @property
+    def _use_fused(self):
+        return jax.default_backend() == 'tpu' if self.fused is None else self.fused
 
     @property
     def n_envs(self):
@@ -97,7 +110,39 @@ class Explorer:
         reward = jnp.where(reset, 0., reward)
         return seen, potential, reward
 
+    def _observe_fused(self, agents, state_seen, reset):
+        """One-kernel observe: raycast + shade + seen counts fused
+        (:mod:`megastep_tpu.ops.fused`); obs assembled from the kernel's
+        (N, A, 3, R) screen / (N, A, R) distances without re-transposing the
+        full-res arrays."""
+        from ..ops import fused as fused_ops
+        from ..ops import render as render_ops
+        scn = self.core.scenery
+        c = self.core
+        lines_now = render_ops.draw(scn, agents)
+        out = fused_ops.observe(
+            lines_now, fused_ops.line_attrs(lines_now, scn), self._table8,
+            scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius, want_seen=True,
+            interpret=jax.default_backend() != 'tpu')
+
+        s = self._rgb.subsample
+        rgb = modules.downsample(out.screen, s).mean(-1)[:, :, :, None, :]
+        depth = 1 - jnp.clip((out.distances - c.agent_radius)
+                             / self._depth.max_depth, 0, 1)
+        d = modules.downsample(depth, s).mean(-1)[:, :, None, None, :]
+        obs = arrdict(rgb=rgb, d=d, imu=self._imu(agents))
+
+        seen = state_seen | (out.seen_counts > 0)
+        potential = seen.sum(-1).astype(jnp.float32)
+        old_potential = state_seen.sum(-1).astype(jnp.float32)
+        reward = (potential - old_potential) / (c.res // s)
+        reward = jnp.where(reset, 0., reward)
+        return obs, seen, potential, reward
+
     def _observe(self, agents, seen, reset):
+        if self._use_fused:
+            return self._observe_fused(agents, seen, reset)
         r = modules.render(self.core, agents)
         obs = arrdict(
             rgb=self._rgb(r),

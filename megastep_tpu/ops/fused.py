@@ -1,0 +1,272 @@
+"""The fused observe kernel: raycast + shade + seen-texel counts in one Pallas
+program per env block.
+
+This is the engine's answer to the reference's three resident CUDA kernels
+(``/root/reference/megastep/src/kernels.cu:326-475`` — raycast, shade, plus the
+Explorer's seen-texel scatter that follows them): one TPU program computes the
+whole per-env observation with every intermediate held in VMEM. The split XLA
+pipeline (:mod:`megastep_tpu.ops.render`) streams ~15 (N, A, R, L) raycast
+intermediates and two (N, P, T) one-hot products through HBM per step — at
+16k envs that's ~90% of the step time. Here the HBM traffic collapses to the
+inputs (lines, texel table) and the final (R,)-sized outputs.
+
+Layout choices (each matters; see PERF.md):
+  * (lines, rays) working arrays put **lines on sublanes and rays on lanes** —
+    the reverse of the round-1 raycast kernel. With L ≈ 48 < 128, a (R, L)
+    layout pads lanes 48→128 (2.7× more registers per op); (L, R) is dense.
+  * per-line scalars are (L, 1) columns, per-ray scalars are (1, R) rows, so
+    every (L, R) product is a natural broadcast with no relayouts.
+  * the winner line's static attributes (direction, texel start/width) are read
+    off with ONE (4, L) @ (L, R) MXU product against the one-hot (exact at
+    ``Precision.HIGHEST``) instead of four masked reductions.
+  * texture taps are a (8, T) @ (T, R) one-hot product against the per-env
+    texel table (both taps at once via the roll-concatenated table, exactly as
+    :func:`megastep_tpu.ops.render.shade`'s one-hot path).
+  * seen-texel counts are a (T, R) @ (R, 1) product — the per-env counterpart
+    of :func:`megastep_tpu.ops.render.onehot_any` with the one-hot never
+    leaving VMEM. The counts output is laid out (T, E) so the per-env column
+    write needs no relayout.
+  * ``E`` envs are unrolled per program so per-program overhead amortizes;
+    every output row/column write uses a static index (dynamic sublane stores
+    don't lower).
+
+Bit-exactness: the raycast math is the same arithmetic as
+:func:`megastep_tpu.ops.render.raycast` and the shade math matches
+:func:`megastep_tpu.ops.render.shade`'s one-hot method; tests compare both
+bit-for-bit (interpret mode on CPU, compiled on TPU).
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..arrdict import arrdict
+from . import geom
+from .render import Z_TOLERANCE
+
+PARALLEL_EPS = geom.PARALLEL_EPS
+HI = jax.lax.Precision.HIGHEST
+
+
+def pack_table8(scenery, baked=None):
+    """The shade lookup table, pre-transposed for the kernel: rows 0-3 are
+    (r, g, b, baked) of texel t, rows 4-7 of texel t+1 (the roll-concat trick
+    from :func:`megastep_tpu.ops.render.shade`).
+
+    :param baked: override for ``scenery.baked`` (pass the re-baked array for
+        multi-agent dynamic lighting).
+    :return: (N, 8, T) f32.
+    """
+    baked = scenery.baked if baked is None else baked
+    table = jnp.concatenate([scenery.textures, baked[..., None]], -1)  # (N,T,4)
+    both = jnp.concatenate([table, jnp.roll(table, -1, axis=1)], -1)   # (N,T,8)
+    return both.transpose(0, 2, 1)
+
+
+def line_attrs(lines_now, scenery):
+    """Static per-line attribute rows for the winner readout: (N, 4, L) f32 of
+    (vx, vy, tex_start, tex_width)."""
+    v = lines_now[..., 1, :] - lines_now[..., 0, :]                    # (N,L,2)
+    return jnp.stack([v[..., 0], v[..., 1],
+                      scenery.line_tex_starts.astype(jnp.float32),
+                      scenery.line_tex_widths.astype(jnp.float32)], 1)
+
+
+def _observe_kernel(res, env_block, n_tex, half_screen_width, agent_radius,
+                    want_seen,
+                    lines_ref, attrs_ref, table_ref, width_ref, pose_ref,
+                    idx_ref, dist_ref, r_ref, g_ref, b_ref, seen_ref):
+    """One program = ``env_block`` envs × one agent × all ``res`` rays.
+
+    Blocks: lines (1, E, L, 4) VMEM · attrs (1, E, 4, L) VMEM · table
+    (1, E, 8, T) VMEM · width (1, 1, E) SMEM i32 · pose (1, E, A, 3) SMEM →
+    outputs idx/dist/r/g/b (1, 1, E, R) + seen counts (1, 1, T, E).
+    """
+    L = lines_ref.shape[2]
+    R = res
+    a = pl.program_id(1)
+
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)            # (L, 1)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)            # (1, R)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_tex, 1), 0)        # (T, 1)
+    # Screen coordinate of each ray (kernels.cu:234-236), as a lane row.
+    uy = half_screen_width * (res - 2 * iota_r.astype(jnp.float32) - 1) / res
+
+    for e in range(env_block):
+        lines = lines_ref[0, e]                                        # (L, 4)
+        ax = lines[:, 0:1]                                             # (L, 1)
+        ay = lines[:, 1:2]
+        vx = lines[:, 2:3] - ax
+        vy = lines[:, 3:4] - ay
+        live = iota_l < width_ref[0, 0, e]                             # (L, 1)
+
+        ang = pose_ref[0, e, a, 0] * (jnp.pi / 180)
+        co, si = jnp.cos(ang), jnp.sin(ang)
+        px, py = pose_ref[0, e, a, 1], pose_ref[0, e, a, 2]
+
+        # Ray directions in the global frame (kernels.cu:344-349), lane rows.
+        rux = co - si * uy                                             # (1, R)
+        ruy = si + co * uy
+        rlen = jnp.sqrt(rux * rux + ruy * ruy)
+        near = agent_radius / rlen
+
+        pqx = ax - px                                                  # (L, 1)
+        pqy = ay - py
+        s_num = pqx * vy - pqy * vx                                    # (L, 1)
+        uxv = vy * rux - vx * ruy                                      # (L, R)
+        t_num = pqx * ruy - pqy * rux
+
+        distant = jnp.abs(uxv) < PARALLEL_EPS
+        rinv = 1. / jnp.where(distant, 1., uxv)
+        sq = jnp.where(distant, jnp.inf, s_num * rinv)                 # (L, R)
+        tq = jnp.where(distant, jnp.inf, t_num * rinv)
+
+        valid = (0 <= tq) & (tq <= 1) & (near < sq) & live
+        s_masked = jnp.where(valid, sq, jnp.inf)
+        s_min = jnp.min(s_masked, axis=0, keepdims=True)               # (1, R)
+        eligible = valid & (sq < s_min + Z_TOLERANCE)
+        idx = jnp.min(jnp.where(eligible, iota_l, L), axis=0, keepdims=True)
+        found = idx < L                                                # (1, R)
+        idx0 = jnp.where(found, idx, 0)
+
+        onehot = (iota_l == idx0)                                      # (L, R)
+        s_sel = jnp.min(jnp.where(onehot, sq, jnp.inf), axis=0, keepdims=True)
+        t_sel = jnp.min(jnp.where(onehot, tq, jnp.inf), axis=0, keepdims=True)
+
+        # Winner attributes in one exact MXU product: (4, L) @ (L, R).
+        attr = jnp.dot(attrs_ref[0, e], onehot.astype(jnp.float32),
+                       preferred_element_type=jnp.float32, precision=HI)
+        sel_vx = attr[0:1]                                             # (1, R)
+        sel_vy = attr[1:2]
+        start = attr[2:3]
+        tw = attr[3:4]
+
+        vlen = jnp.sqrt(sel_vx * sel_vx + sel_vy * sel_vy)
+        dot_sel = (rux * sel_vx + ruy * sel_vy) / (rlen * vlen + 1e-6)
+
+        # Shade (kernels.cu:407-450): two-tap filter + Lambert, per-ray rows.
+        loc = jnp.where(found, t_sel, .5)
+        y = jnp.minimum(loc * (tw + 1), tw - 1)
+        l = jnp.maximum(y - 1, 0.).astype(jnp.int32)
+        rr = jnp.minimum(y, tw - 1).astype(jnp.int32)
+        ld = jnp.abs(y - (l + 1).astype(jnp.float32)) + 1e-3
+        rd = jnp.abs(y - (rr + 1).astype(jnp.float32)) + 1e-3
+        lw = rd / (ld + rd)
+        rw = ld / (ld + rd)
+
+        tap = start.astype(jnp.int32) + l                              # (1, R)
+        onehot_tap = (iota_t == tap).astype(jnp.float32)               # (T, R)
+        taps = jnp.dot(table_ref[0, e], onehot_tap,
+                       preferred_element_type=jnp.float32, precision=HI)  # (8, R)
+        same = (rr == l)                                               # (1, R)
+        tap_l = taps[0:4]
+        tap_r = jnp.where(same, tap_l, taps[4:8])
+        intensity = lw * tap_l[3:4] + rw * tap_r[3:4]
+
+        lambert = 1 - jnp.where(found, dot_sel, 0.)**2
+        shadefac = lambert * intensity                                 # (1, R)
+        color = lw * tap_l[0:3] + rw * tap_r[0:3]                      # (3, R)
+        screen = jnp.where(found, shadefac * color, 0.)
+
+        idx_ref[0, 0, e:e + 1, :] = jnp.where(found, idx, -1).astype(jnp.int32)
+        dist_ref[0, 0, e:e + 1, :] = jnp.where(found, s_sel, jnp.inf) * rlen
+        r_ref[0, 0, e:e + 1, :] = screen[0:1]
+        g_ref[0, 0, e:e + 1, :] = screen[1:2]
+        b_ref[0, 0, e:e + 1, :] = screen[2:3]
+
+        if want_seen:
+            # Seen-texel counts (reference explorer.py:34-48): texel index per
+            # hit ray, one-hot over T, summed over rays on the MXU. Exact:
+            # products are 0/1 and counts stay far below 2^24.
+            loc0 = jnp.where(found, t_sel, 0.)
+            ti = jnp.minimum(jnp.floor(tw * loc0), tw - 1)
+            tex = start.astype(jnp.int32) + jnp.maximum(ti, 0.).astype(jnp.int32)
+            onehot_seen = ((iota_t == tex) & found).astype(jnp.float32)
+            counts = jnp.dot(onehot_seen, jnp.ones((R, 1), jnp.float32),
+                             preferred_element_type=jnp.float32)       # (T, 1)
+            seen_ref[0, 0, :, e:e + 1] = counts
+
+
+def default_env_block(n_envs):
+    return 8 if n_envs % 8 == 0 else 1
+
+
+@partial(jax.jit, static_argnames=('res', 'half_screen_width', 'agent_radius',
+                                   'want_seen', 'env_block', 'interpret'))
+def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
+            half_screen_width, agent_radius, want_seen=True, env_block=None,
+            interpret=False):
+    """Fused raycast + shade (+ seen counts) over the whole env batch.
+
+    :param lines_now: (N, L, 2, 2) this frame's lines (after :func:`render.draw`).
+    :param attrs: (N, 4, L) from :func:`line_attrs`.
+    :param table8: (N, 8, T) from :func:`pack_table8`.
+    :return: arrdict with ``indices`` (N, A, R) i32, ``distances`` (N, A, R),
+        ``screen`` (N, A, 3, R), and (if ``want_seen``) ``seen_counts`` (N, T).
+    """
+    N, A = angles.shape
+    L = lines_now.shape[1]
+    T = table8.shape[2]
+    E = default_env_block(N) if env_block is None else env_block
+    NB = N // E
+
+    flat = lines_now.reshape(NB, E, L, 4)
+    attrs = attrs.reshape(NB, E, 4, L)
+    table8 = table8.reshape(NB, E, 8, T)
+    width3d = lines_width.reshape(NB, 1, E).astype(jnp.int32)
+    pose = jnp.concatenate([angles[..., None], positions], -1).reshape(NB, E, A, 3)
+
+    kernel = partial(_observe_kernel, res, E, T, float(half_screen_width),
+                     float(agent_radius), want_seen)
+    out_shape = [
+        jax.ShapeDtypeStruct((NB, A, E, res), jnp.int32),
+        jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
+        jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
+        jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
+        jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
+        jax.ShapeDtypeStruct((NB, A, T, E), jnp.float32)]
+
+    grid_spec = pl.GridSpec(
+        grid=(NB, A),
+        in_specs=[
+            pl.BlockSpec((1, E, L, 4), lambda n, a: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, 4, L), lambda n, a: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E, 8, T), lambda n, a: (n, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, E), lambda n, a: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, E, A, 3), lambda n, a: (n, 0, 0, 0),
+                         memory_space=pltpu.SMEM)],
+        out_specs=[
+            pl.BlockSpec((1, 1, E, res), lambda n, a: (n, a, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(5)] + [
+            pl.BlockSpec((1, 1, T, E), lambda n, a: (n, a, 0, 0),
+                         memory_space=pltpu.VMEM)])
+
+    idx, dist, r, g, b, counts = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=('parallel', 'arbitrary')),
+        interpret=interpret,
+    )(flat, attrs, table8, width3d, pose)
+
+    def to_nar(x):
+        # (NB, A, E, R) -> (N, A, R); for A == 1 this is a pure reshape.
+        return x.transpose(0, 2, 1, 3).reshape(N, A, res)
+
+    out = arrdict(
+        indices=to_nar(idx),
+        distances=to_nar(dist),
+        screen=jnp.stack([to_nar(r), to_nar(g), to_nar(b)], 2))  # (N, A, 3, R)
+    if want_seen:
+        # (NB, A, T, E): sum the per-agent counts, fold envs back to axis 0.
+        out['seen_counts'] = counts.sum(1).transpose(0, 2, 1).reshape(N, T)
+    return out

@@ -1,0 +1,109 @@
+"""Microbenchmark: fused observe kernel vs the split XLA pipeline, on TPU.
+
+Times the full per-step observe work (draw + raycast + shade + seen reduction)
+inside a ``lax.scan`` (amortizing the ~30 ms axon dispatch), at bench-like
+Explorer shapes. Usage::
+
+    python perf/fused_bench.py --envs 4096 --res 256 --steps 32 [--env-block 8]
+"""
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--envs', type=int, default=4096)
+    p.add_argument('--res', type=int, default=256)
+    p.add_argument('--steps', type=int, default=32)
+    p.add_argument('--agents', type=int, default=1)
+    p.add_argument('--env-block', type=int, default=None)
+    p.add_argument('--which', default='both', choices=['both', 'split', 'fused'])
+    args = p.parse_args()
+
+    from megastep_tpu import core, floorplans, scene
+    from megastep_tpu.ops import fused, render
+
+    geoms = floorplans.sample(min(args.envs, 512))
+    geoms = [geoms[i % len(geoms)] for i in range(args.envs)]
+    scn = scene.scenery(geoms, n_agents=args.agents)
+    c = core.Core(scn, res=args.res, fov=130)
+    agents = c.init_agents()
+    key = jax.random.PRNGKey(0)
+    agents['positions'] = 4. + 3 * jax.random.uniform(key, agents.positions.shape)
+    agents['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
+
+    L = scn.lines.shape[1]
+    T = scn.baked.shape[1]
+    print(f'N={args.envs} A={args.agents} res={args.res} L={L} T={T}')
+
+    table8 = fused.pack_table8(scn)
+
+    def split_step(scn, agents, carry, _):
+        ag = type(agents)(angles=agents.angles + carry, positions=agents.positions,
+                          angvelocity=agents.angvelocity, velocity=agents.velocity)
+        lines_now = render.draw(scn, ag)
+        rc = render.raycast(lines_now, scn.lines_width, ag.angles, ag.positions,
+                            args.res, c.half_screen_width, c.agent_radius)
+        screen = render.shade(scn, rc, scn.baked, method='onehot')
+        N = rc.indices.shape[0]
+        line = rc.indices.reshape(N, -1)
+        hit = line >= 0
+        line0 = jnp.maximum(line, 0)
+        attrs = jnp.stack([scn.line_tex_starts, scn.line_tex_widths],
+                          -1).astype(jnp.float32)
+        sw = render.onehot_lookup(attrs, line0)
+        start = sw[..., 0].astype(jnp.int32)
+        width = sw[..., 1].astype(jnp.int32)
+        loc = jnp.where(hit, rc.locations.reshape(N, -1), 0.)
+        ti = jnp.minimum(jnp.floor(width * loc), width - 1).astype(jnp.int32)
+        tex = start + jnp.maximum(ti, 0)
+        seen = render.onehot_any(tex, hit, T)
+        return carry + 1e-4, screen.mean() + seen.sum() + rc.distances.min()
+
+    def fused_step(scn, agents, table8, carry, _):
+        ag = type(agents)(angles=agents.angles + carry, positions=agents.positions,
+                          angvelocity=agents.angvelocity, velocity=agents.velocity)
+        lines_now = render.draw(scn, ag)
+        out = fused.observe(
+            lines_now, fused.line_attrs(lines_now, scn), table8,
+            scn.lines_width, ag.angles, ag.positions, args.res,
+            c.half_screen_width, c.agent_radius, want_seen=True,
+            env_block=args.env_block)
+        return carry + 1e-4, (out.screen.mean() + (out.seen_counts > 0).sum()
+                              + out.distances.min())
+
+    def run(name, step_fn, *extra):
+        @jax.jit
+        def scan(scn, agents, *extra):
+            return jax.lax.scan(
+                lambda carry, x: step_fn(scn, agents, *extra, carry, x),
+                jnp.zeros(()), jnp.arange(args.steps))
+
+        t0 = time.perf_counter()
+        _, out = scan(scn, agents, *extra)
+        jax.block_until_ready(out)
+        compile_t = time.perf_counter() - t0
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, out = scan(scn, agents, *extra)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / args.steps)
+        print(f'{name}: {best * 1e3:.3f} ms/step '
+              f'({args.envs * args.agents / best:,.0f} agent-steps/s) '
+              f'[first call {compile_t:.1f}s]')
+        return best
+
+    if args.which in ('both', 'split'):
+        run('split', split_step)
+    if args.which in ('both', 'fused'):
+        run('fused', fused_step, table8)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,126 @@
+"""Fused observe kernel (interpret mode on CPU) vs the split jnp pipeline:
+raycast indices/distances, shaded screen, and seen-texel counts must agree."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from megastep_tpu import core, scene, toys, floorplans
+from megastep_tpu.ops import fused, render
+
+
+def _setup(n_envs=4, n_agents=2, res=64, seed=0):
+    geoms = [toys.box() if i % 2 else toys.column() for i in range(n_envs)]
+    scn = scene.scenery(geoms, n_agents=n_agents, random=np.random.RandomState(5))
+    c = core.Core(scn, res=res, fov=130)
+    agents = c.init_agents()
+    key = jax.random.PRNGKey(seed)
+    agents['positions'] = 2.5 + 2 * jax.random.uniform(key, agents.positions.shape)
+    agents['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
+    return scn, c, agents
+
+
+def _reference(scn, c, agents, lines_now):
+    rc = render.raycast(lines_now, scn.lines_width, agents.angles,
+                        agents.positions, c.res, c.half_screen_width,
+                        c.agent_radius)
+    rc['screen'] = render.shade(scn, rc, scn.baked, method='onehot')
+    return rc
+
+
+def _seen_reference(scn, rc):
+    N = rc.indices.shape[0]
+    line = rc.indices.reshape(N, -1)
+    hit = line >= 0
+    line0 = jnp.maximum(line, 0)
+    start = jnp.take_along_axis(scn.line_tex_starts, line0, 1)
+    width = jnp.take_along_axis(scn.line_tex_widths, line0, 1)
+    loc = jnp.where(hit, rc.locations.reshape(N, -1), 0.)
+    ti = jnp.minimum(jnp.floor(width * loc), width - 1).astype(jnp.int32)
+    tex = start + jnp.maximum(ti, 0)
+    T = scn.baked.shape[1]
+    return jax.vmap(lambda s, t, h: s.at[t].max(h))(
+        jnp.zeros((N, T), bool), tex, hit)
+
+
+def test_fused_observe_matches_split_pipeline():
+    scn, c, agents = _setup()
+    lines_now = render.draw(scn, agents)
+    want = _reference(scn, c, agents, lines_now)
+    want_seen = _seen_reference(scn, want)
+
+    got = fused.observe(
+        lines_now, fused.line_attrs(lines_now, scn), fused.pack_table8(scn),
+        scn.lines_width, agents.angles, agents.positions, c.res,
+        c.half_screen_width, c.agent_radius, want_seen=True, env_block=2,
+        interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(want.indices), np.asarray(got.indices))
+    np.testing.assert_allclose(np.asarray(want.distances), np.asarray(got.distances),
+                               rtol=1e-5)
+    # got.screen is (N, A, 3, R); the split pipeline gives (N, A, R, 3).
+    np.testing.assert_allclose(np.asarray(want.screen),
+                               np.asarray(got.screen).transpose(0, 1, 3, 2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(want_seen),
+                                  np.asarray(got.seen_counts > 0))
+
+
+def test_fused_observe_floorplan_single_agent():
+    geoms = floorplans.sample(3)
+    scn = scene.scenery(geoms, n_agents=1, random=np.random.RandomState(2))
+    c = core.Core(scn, res=64, fov=130)
+    agents = c.init_agents()
+    key = jax.random.PRNGKey(3)
+    agents['positions'] = 4. + 3 * jax.random.uniform(key, agents.positions.shape)
+    agents['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
+    lines_now = render.draw(scn, agents)
+    want = _reference(scn, c, agents, lines_now)
+    want_seen = _seen_reference(scn, want)
+
+    got = fused.observe(
+        lines_now, fused.line_attrs(lines_now, scn), fused.pack_table8(scn),
+        scn.lines_width, agents.angles, agents.positions, c.res,
+        c.half_screen_width, c.agent_radius, want_seen=True, env_block=1,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(want.indices), np.asarray(got.indices))
+    np.testing.assert_allclose(np.asarray(want.distances), np.asarray(got.distances),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(want.screen),
+                               np.asarray(got.screen).transpose(0, 1, 3, 2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(want_seen),
+                                  np.asarray(got.seen_counts > 0))
+
+
+def test_explorer_fused_matches_split():
+    """Explorer with the fused observe kernel (interpret mode) steps identically
+    to the split pipeline: same obs, reward, seen bookkeeping."""
+    from megastep_tpu.envs import Explorer
+    from megastep_tpu.arrdict import arrdict
+
+    geoms = floorplans.sample(2)
+    key = jax.random.PRNGKey(0)
+    envs = []
+    for f in (False, True):
+        np.random.seed(7)  # identical scenery randomness for both builds
+        envs.append(Explorer(2, geometries=geoms, res=64, subsample=4, fused=f))
+    states, worlds = zip(*[e.reset(key) for e in envs])
+
+    for t in range(3):
+        k = jax.random.fold_in(key, t)
+        actions = jax.random.randint(k, (2, 1), 0, 7)
+        outs = [e.step(s, arrdict(actions=actions), k)
+                for e, s in zip(envs, states)]
+        states = [o[0] for o in outs]
+        worlds = [o[1] for o in outs]
+
+    np.testing.assert_array_equal(np.asarray(states[0].seen),
+                                  np.asarray(states[1].seen))
+    np.testing.assert_allclose(np.asarray(worlds[0].reward),
+                               np.asarray(worlds[1].reward), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(worlds[0].obs.rgb),
+                               np.asarray(worlds[1].obs.rgb), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(worlds[0].obs.d),
+                               np.asarray(worlds[1].obs.d), rtol=1e-5, atol=1e-6)
