@@ -133,7 +133,8 @@ class Explorer:
         d = modules.downsample(depth, s).mean(-1)[:, :, None, None, :]
         obs = arrdict(rgb=rgb, d=d, imu=self._imu(agents))
 
-        seen = state_seen | (out.seen_counts > 0)
+        T = state_seen.shape[1]
+        seen = state_seen | (out.seen_counts[:, :T] > 0)
         potential = seen.sum(-1).astype(jnp.float32)
         old_potential = state_seen.sum(-1).astype(jnp.float32)
         reward = (potential - old_potential) / (c.res // s)

@@ -10,29 +10,36 @@ intermediates and two (N, P, T) one-hot products through HBM per step — at
 16k envs that's ~90% of the step time. Here the HBM traffic collapses to the
 inputs (lines, texel table) and the final (R,)-sized outputs.
 
-Layout choices (each matters; see PERF.md):
+Layout choices (each measured; see PERF.md):
   * (lines, rays) working arrays put **lines on sublanes and rays on lanes** —
     the reverse of the round-1 raycast kernel. With L ≈ 48 < 128, a (R, L)
     layout pads lanes 48→128 (2.7× more registers per op); (L, R) is dense.
   * per-line scalars are (L, 1) columns, per-ray scalars are (1, R) rows, so
     every (L, R) product is a natural broadcast with no relayouts.
   * the winner line's static attributes (direction, texel start/width) are read
-    off with ONE (4, L) @ (L, R) MXU product against the one-hot (exact at
+    off with ONE (4, L) @ (L, R) MXU product against the line one-hot (exact at
     ``Precision.HIGHEST``) instead of four masked reductions.
-  * texture taps are a (8, T) @ (T, R) one-hot product against the per-env
-    texel table (both taps at once via the roll-concatenated table, exactly as
-    :func:`megastep_tpu.ops.render.shade`'s one-hot path).
-  * seen-texel counts are a (T, R) @ (R, 1) product — the per-env counterpart
-    of :func:`megastep_tpu.ops.render.onehot_any` with the one-hot never
-    leaving VMEM. The counts output is laid out (T, E) so the per-env column
-    write needs no relayout.
-  * ``E`` envs are unrolled per program so per-program overhead amortizes;
-    every output row/column write uses a static index (dynamic sublane stores
-    don't lower).
+  * texel lookups are **hierarchical**: a flat (T, R) one-hot build costs
+    T·R/1024 vector registers of compares (≈1 µs/env at T=2304 — it dominated
+    the v1 kernel). Splitting the texel index as ``t = b·128 + w`` needs only a
+    (128, R) "lo" and a (B, R) "hi" one-hot (16× cheaper to build); the table
+    lookup becomes one (B·8, 128) @ (128, R) MXU product over the lo axis
+    followed by a tiny static loop over the B hi-blocks.
+  * the f32 texel table is split in-kernel into three bf16 components
+    (t = t1+t2+t3, disjoint mantissa chunks — the same decomposition XLA's
+    HIGHEST uses); each component multiplies the exact 0/1 bf16 one-hot in a
+    native 1-pass bf16 MXU product, so the lookup is bit-exact at half the
+    passes of an f32 HIGHEST dot.
+  * seen-texel counts contract the ray axis on the MXU —
+    (B, R) · (128, R)ᵀ — and are written as a per-env (B, 128) tile block,
+    reshaped to (T,) outside (row-major, so the reshape is free in XLA).
+  * ``E`` envs are unrolled per program so per-program overhead amortizes
+    (measured: E=8 is 1.6× faster than E=1; E=32 no better); every output
+    write uses a static env index (dynamic sublane stores don't lower).
 
 Bit-exactness: the raycast math is the same arithmetic as
 :func:`megastep_tpu.ops.render.raycast` and the shade math matches
-:func:`megastep_tpu.ops.render.shade`'s one-hot method; tests compare both
+:func:`megastep_tpu.ops.render.shade`'s one-hot path; tests compare both
 bit-for-bit (interpret mode on CPU, compiled on TPU).
 """
 from functools import partial
@@ -48,21 +55,31 @@ from .render import Z_TOLERANCE
 
 PARALLEL_EPS = geom.PARALLEL_EPS
 HI = jax.lax.Precision.HIGHEST
+LO_WIDTH = 128  # texel-index lo radix == lane width
+
+
+def _cdiv(a, b):
+    return -(-a // b)
 
 
 def pack_table8(scenery, baked=None):
-    """The shade lookup table, pre-transposed for the kernel: rows 0-3 are
-    (r, g, b, baked) of texel t, rows 4-7 of texel t+1 (the roll-concat trick
-    from :func:`megastep_tpu.ops.render.shade`).
+    """The shade lookup table, blocked for the kernel's hierarchical lookup:
+    ``out[n, b*8 + c, w]`` is channel ``c`` of texel ``t = b*128 + w``, where
+    channels 0-3 are (r, g, b, baked) of texel t and 4-7 of texel t+1 (the
+    roll-concat trick from :func:`megastep_tpu.ops.render.shade`).
 
     :param baked: override for ``scenery.baked`` (pass the re-baked array for
         multi-agent dynamic lighting).
-    :return: (N, 8, T) f32.
+    :return: (N, B*8, 128) f32 with ``B = ceil(T / 128)``.
     """
     baked = scenery.baked if baked is None else baked
     table = jnp.concatenate([scenery.textures, baked[..., None]], -1)  # (N,T,4)
     both = jnp.concatenate([table, jnp.roll(table, -1, axis=1)], -1)   # (N,T,8)
-    return both.transpose(0, 2, 1)
+    N, T, _ = both.shape
+    B = _cdiv(T, LO_WIDTH)
+    both = jnp.pad(both, ((0, 0), (0, B * LO_WIDTH - T), (0, 0)))
+    return both.reshape(N, B, LO_WIDTH, 8).transpose(0, 1, 3, 2).reshape(
+        N, B * 8, LO_WIDTH)
 
 
 def line_attrs(lines_now, scenery):
@@ -74,23 +91,36 @@ def line_attrs(lines_now, scenery):
                       scenery.line_tex_widths.astype(jnp.float32)], 1)
 
 
-def _observe_kernel(res, env_block, n_tex, half_screen_width, agent_radius,
+def _split3(x):
+    """Exact 3-way bf16 split of f32: x == sum of the returned components (the
+    24-bit mantissa in three 8-bit chunks)."""
+    t1 = x.astype(jnp.bfloat16)
+    r1 = x - t1.astype(jnp.float32)
+    t2 = r1.astype(jnp.bfloat16)
+    t3 = (r1 - t2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return t1, t2, t3
+
+
+def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
                     want_seen,
                     lines_ref, attrs_ref, table_ref, width_ref, pose_ref,
                     idx_ref, dist_ref, r_ref, g_ref, b_ref, seen_ref):
     """One program = ``env_block`` envs × one agent × all ``res`` rays.
 
     Blocks: lines (1, E, L, 4) VMEM · attrs (1, E, 4, L) VMEM · table
-    (1, E, 8, T) VMEM · width (1, 1, E) SMEM i32 · pose (1, E, A, 3) SMEM →
-    outputs idx/dist/r/g/b (1, 1, E, R) + seen counts (1, 1, T, E).
+    (1, E, B*8, 128) VMEM · width (1, 1, E) SMEM i32 · pose (1, E, A, 3) SMEM →
+    outputs idx/dist/r/g/b (1, 1, E, R) + seen counts (1, 1, E, B, 128).
     """
     L = lines_ref.shape[2]
     R = res
+    B = n_blocks
+    W = LO_WIDTH
     a = pl.program_id(1)
 
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)            # (L, 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)            # (1, R)
-    iota_t = jax.lax.broadcasted_iota(jnp.int32, (n_tex, 1), 0)        # (T, 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)            # (W, 1)
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)            # (B, 1)
     # Screen coordinate of each ray (kernels.cu:234-236), as a lane row.
     uy = half_screen_width * (res - 2 * iota_r.astype(jnp.float32) - 1) / res
 
@@ -156,10 +186,21 @@ def _observe_kernel(res, env_block, n_tex, half_screen_width, agent_radius,
         lw = rd / (ld + rd)
         rw = ld / (ld + rd)
 
+        # Hierarchical texel lookup: t = b*128 + w.
         tap = start.astype(jnp.int32) + l                              # (1, R)
-        onehot_tap = (iota_t == tap).astype(jnp.float32)               # (T, R)
-        taps = jnp.dot(table_ref[0, e], onehot_tap,
-                       preferred_element_type=jnp.float32, precision=HI)  # (8, R)
+        tap_hi = tap // W
+        tap_lo = tap - tap_hi * W
+        onehot_lo = (iota_w == tap_lo).astype(jnp.bfloat16)            # (W, R)
+        onehot_hi = (iota_b == tap_hi).astype(jnp.float32)             # (B, R)
+
+        t1, t2, t3 = _split3(table_ref[0, e])                          # (B*8, W)
+        inner = sum(
+            jnp.dot(t, onehot_lo, preferred_element_type=jnp.float32)
+            for t in (t1, t2, t3))                                     # (B*8, R)
+        taps = jnp.zeros((8, R), jnp.float32)
+        for bb in range(B):
+            taps = taps + inner[bb * 8:(bb + 1) * 8] * onehot_hi[bb:bb + 1]
+
         same = (rr == l)                                               # (1, R)
         tap_l = taps[0:4]
         tap_r = jnp.where(same, tap_l, taps[4:8])
@@ -178,15 +219,19 @@ def _observe_kernel(res, env_block, n_tex, half_screen_width, agent_radius,
 
         if want_seen:
             # Seen-texel counts (reference explorer.py:34-48): texel index per
-            # hit ray, one-hot over T, summed over rays on the MXU. Exact:
-            # products are 0/1 and counts stay far below 2^24.
+            # hit ray, hierarchical one-hot over (b, w), ray axis contracted on
+            # the MXU. Exact: products are 0/1 and counts stay below 2^24.
             loc0 = jnp.where(found, t_sel, 0.)
             ti = jnp.minimum(jnp.floor(tw * loc0), tw - 1)
             tex = start.astype(jnp.int32) + jnp.maximum(ti, 0.).astype(jnp.int32)
-            onehot_seen = ((iota_t == tex) & found).astype(jnp.float32)
-            counts = jnp.dot(onehot_seen, jnp.ones((R, 1), jnp.float32),
-                             preferred_element_type=jnp.float32)       # (T, 1)
-            seen_ref[0, 0, :, e:e + 1] = counts
+            tex_hi = tex // W
+            tex_lo = tex - tex_hi * W
+            lo_m = ((iota_w == tex_lo) & found).astype(jnp.bfloat16)   # (W, R)
+            hi_m = (iota_b == tex_hi).astype(jnp.bfloat16)             # (B, R)
+            counts = jax.lax.dot_general(
+                hi_m, lo_m, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)                    # (B, W)
+            seen_ref[0, 0, e] = counts
 
 
 def default_env_block(n_envs):
@@ -202,23 +247,24 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
 
     :param lines_now: (N, L, 2, 2) this frame's lines (after :func:`render.draw`).
     :param attrs: (N, 4, L) from :func:`line_attrs`.
-    :param table8: (N, 8, T) from :func:`pack_table8`.
+    :param table8: (N, B*8, 128) from :func:`pack_table8`.
     :return: arrdict with ``indices`` (N, A, R) i32, ``distances`` (N, A, R),
-        ``screen`` (N, A, 3, R), and (if ``want_seen``) ``seen_counts`` (N, T).
+        ``screen`` (N, A, 3, R), and (if ``want_seen``) ``seen_counts``
+        (N, B*128) — slice to the scenery's T texels.
     """
     N, A = angles.shape
     L = lines_now.shape[1]
-    T = table8.shape[2]
+    B = table8.shape[1] // 8
     E = default_env_block(N) if env_block is None else env_block
     NB = N // E
 
     flat = lines_now.reshape(NB, E, L, 4)
     attrs = attrs.reshape(NB, E, 4, L)
-    table8 = table8.reshape(NB, E, 8, T)
+    table8 = table8.reshape(NB, E, 8 * B, LO_WIDTH)
     width3d = lines_width.reshape(NB, 1, E).astype(jnp.int32)
     pose = jnp.concatenate([angles[..., None], positions], -1).reshape(NB, E, A, 3)
 
-    kernel = partial(_observe_kernel, res, E, T, float(half_screen_width),
+    kernel = partial(_observe_kernel, res, E, B, float(half_screen_width),
                      float(agent_radius), want_seen)
     out_shape = [
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.int32),
@@ -226,7 +272,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
-        jax.ShapeDtypeStruct((NB, A, T, E), jnp.float32)]
+        jax.ShapeDtypeStruct((NB, A, E, B, LO_WIDTH), jnp.float32)]
 
     grid_spec = pl.GridSpec(
         grid=(NB, A),
@@ -235,7 +281,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E, 4, L), lambda n, a: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E, 8, T), lambda n, a: (n, 0, 0, 0),
+            pl.BlockSpec((1, E, 8 * B, LO_WIDTH), lambda n, a: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, E), lambda n, a: (n, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -245,7 +291,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
             pl.BlockSpec((1, 1, E, res), lambda n, a: (n, a, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(5)] + [
-            pl.BlockSpec((1, 1, T, E), lambda n, a: (n, a, 0, 0),
+            pl.BlockSpec((1, 1, E, B, LO_WIDTH), lambda n, a: (n, a, 0, 0, 0),
                          memory_space=pltpu.VMEM)])
 
     idx, dist, r, g, b, counts = pl.pallas_call(
@@ -267,6 +313,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         distances=to_nar(dist),
         screen=jnp.stack([to_nar(r), to_nar(g), to_nar(b)], 2))  # (N, A, 3, R)
     if want_seen:
-        # (NB, A, T, E): sum the per-agent counts, fold envs back to axis 0.
-        out['seen_counts'] = counts.sum(1).transpose(0, 2, 1).reshape(N, T)
+        # (NB, A, E, B, W): sum per-agent counts; (B, W) flattens to the texel
+        # axis row-major for free.
+        out['seen_counts'] = counts.sum(1).reshape(N, B * LO_WIDTH)
     return out

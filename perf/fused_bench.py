@@ -7,11 +7,15 @@ Explorer shapes. Usage::
     python perf/fused_bench.py --envs 4096 --res 256 --steps 32 [--env-block 8]
 """
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -22,6 +26,7 @@ def main():
     p.add_argument('--agents', type=int, default=1)
     p.add_argument('--env-block', type=int, default=None)
     p.add_argument('--which', default='both', choices=['both', 'split', 'fused'])
+    p.add_argument('--no-seen', action='store_true')
     args = p.parse_args()
 
     from megastep_tpu import core, floorplans, scene
@@ -72,10 +77,12 @@ def main():
         out = fused.observe(
             lines_now, fused.line_attrs(lines_now, scn), table8,
             scn.lines_width, ag.angles, ag.positions, args.res,
-            c.half_screen_width, c.agent_radius, want_seen=True,
+            c.half_screen_width, c.agent_radius, want_seen=not args.no_seen,
             env_block=args.env_block)
-        return carry + 1e-4, (out.screen.mean() + (out.seen_counts > 0).sum()
-                              + out.distances.min())
+        acc = out.screen.mean() + out.distances.min()
+        if not args.no_seen:
+            acc = acc + (out.seen_counts > 0).sum()
+        return carry + 1e-4, acc
 
     def run(name, step_fn, *extra):
         @jax.jit

@@ -63,7 +63,7 @@ def test_fused_observe_matches_split_pipeline():
                                np.asarray(got.screen).transpose(0, 1, 3, 2),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(want_seen),
-                                  np.asarray(got.seen_counts > 0))
+                                  np.asarray(got.seen_counts[:, :want_seen.shape[1]] > 0))
 
 
 def test_fused_observe_floorplan_single_agent():
@@ -91,7 +91,7 @@ def test_fused_observe_floorplan_single_agent():
                                np.asarray(got.screen).transpose(0, 1, 3, 2),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(want_seen),
-                                  np.asarray(got.seen_counts > 0))
+                                  np.asarray(got.seen_counts[:, :want_seen.shape[1]] > 0))
 
 
 def test_explorer_fused_matches_split():
