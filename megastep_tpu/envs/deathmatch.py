@@ -50,12 +50,14 @@ class Deathmatch:
     always holds (identical at the default; see PARITY.md).
     """
 
-    def __init__(self, n_envs, n_agents=4, geometries=None, subsample=4, **kwargs):
+    def __init__(self, n_envs, n_agents=4, geometries=None, subsample=4,
+                 fused=None, **kwargs):
         n_scenes = max(n_envs // n_agents, 1)
         geometries = cubicasa.sample(n_scenes) if geometries is None else geometries
         scenery = scene.scenery(geometries, n_agents)
         self.core = core.Core(scenery, res=kwargs.pop('res', 4 * 128),
                               fov=kwargs.pop('fov', 70), **kwargs)
+        self.fused = fused
         self._rgb = modules.RGB(self.core, n_agents=1, subsample=subsample)
         self._depth = modules.Depth(self.core, n_agents=1, subsample=subsample)
         self._imu = modules.IMU(self.core, n_agents=1)
@@ -108,7 +110,45 @@ class Deathmatch:
         health = health - .05 * (wounds + outside) - .001
         return health, damage, matchings, hits.reshape(-1)
 
+    @property
+    def _use_fused(self):
+        return jax.default_backend() == 'tpu' if self.fused is None else self.fused
+
+    def _observe_fused(self, agents, health, damage):
+        """One-kernel observe (:mod:`megastep_tpu.ops.fused`) with per-frame
+        dynamic re-bake: agent-model texel lighting is recomputed before the
+        shade table is packed, matching ``render(rebake_dynamic=True)``."""
+        from ..ops import bake, fused as fused_ops, render as render_ops
+        scn = self.core.scenery
+        c = self.core
+        lines_now = render_ops.draw(scn, agents)
+        dyn = bake.dynamic_texel_intensity(scn, lines_now)
+        baked_now = scn.baked.at[:, :scn.n_dynamic_texels].set(dyn)
+        table8 = fused_ops.pack_table8(scn, baked_now)
+        out = fused_ops.observe(
+            lines_now, fused_ops.line_attrs(lines_now, scn), table8,
+            scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius, want_seen=False,
+            interpret=jax.default_backend() != 'tpu')
+
+        s = self._rgb.subsample
+        line_idxs = modules.downsample(out.indices, s)[..., s // 2][:, :, None]
+        obj_idxs = line_idxs // scn.n_model_lines
+        mask = (0 <= line_idxs) & (obj_idxs < c.n_agents)
+        opponents = jnp.where(mask, obj_idxs, -1)
+        health, damage, matchings, hits = self._shoot(agents, health, damage,
+                                                      opponents)
+        rgb = modules.downsample(out.screen, s).mean(-1)[:, :, :, None, :]
+        depth = 1 - jnp.clip((out.distances - c.agent_radius)
+                             / self._depth.max_depth, 0, 1)
+        d = modules.downsample(depth, s).mean(-1)[:, :, None, None, :]
+        obs = arrdict(rgb=rgb, d=d, imu=self._imu(agents),
+                      health=health[..., None])
+        return obs, health, damage, matchings, hits
+
     def _observe(self, agents, health, damage):
+        if self._use_fused:
+            return self._observe_fused(agents, health, damage)
         r = modules.render(self.core, agents)
         line_idxs = modules.downsample(r.indices, self._rgb.subsample)[..., self._rgb.subsample // 2]
         obj_idxs = line_idxs // self.core.scenery.n_model_lines

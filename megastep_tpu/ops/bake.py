@@ -27,20 +27,36 @@ from .. import constants
 from . import geom
 
 
-def texel_points(lines, tex_line, line_tex_starts, line_tex_widths, t0, T):
+def texel_points(lines, tex_line, line_tex_starts, line_tex_widths, t0, T,
+                 method=None):
     """World coordinates of texel centers ``t0 : t0+T`` for every env.
 
     :param lines: (N, L, 2, 2) line array to read geometry from.
     :param tex_line: (N, Tmax) owning line of each texel.
+    :param method: 'onehot' (MXU lookups — the TPU default; per-row gathers
+        serialize there) or 'gather'.
     :return: (N, T, 2) texel centers.
     """
+    if method is None:
+        method = 'onehot' if jax.default_backend() == 'tpu' else 'gather'
     tl = jax.lax.dynamic_slice_in_dim(tex_line, t0, T, axis=1)            # (N, T)
-    starts = jnp.take_along_axis(line_tex_starts, tl, 1)
-    widths = jnp.take_along_axis(line_tex_widths, tl, 1)
+    if method == 'onehot':
+        from .render import onehot_lookup
+        N, L = lines.shape[:2]
+        attrs = jnp.concatenate([
+            lines.reshape(N, L, 4),
+            line_tex_starts[..., None].astype(jnp.float32),
+            line_tex_widths[..., None].astype(jnp.float32)], -1)          # (N, L, 6)
+        sel = onehot_lookup(attrs, tl)                                    # (N, T, 6)
+        a, b = sel[..., 0:2], sel[..., 2:4]
+        starts, widths = sel[..., 4], sel[..., 5]
+    else:
+        starts = jnp.take_along_axis(line_tex_starts, tl, 1)
+        widths = jnp.take_along_axis(line_tex_widths, tl, 1)
+        a = jnp.take_along_axis(lines[..., 0, :], tl[..., None], 1)       # (N, T, 2)
+        b = jnp.take_along_axis(lines[..., 1, :], tl[..., None], 1)
     t_idx = t0 + jnp.arange(T)[None]
     loc = (t_idx - starts + .5) / jnp.maximum(widths, 1)
-    a = jnp.take_along_axis(lines[..., 0, :], tl[..., None], 1)           # (N, T, 2)
-    b = jnp.take_along_axis(lines[..., 1, :], tl[..., None], 1)
     return a * (1 - loc[..., None]) + b * loc[..., None]
 
 
@@ -133,5 +149,8 @@ def dynamic_texel_intensity(scenery, lines_now):
     T = scenery.n_dynamic_texels
     C = texel_points(lines_now, scenery.tex_line, scenery.line_tex_starts,
                      scenery.line_tex_widths, 0, T)
-    return intensity_at(C, lines_now, scenery.lines_width, scenery.n_dynamic,
+    # Only static lines occlude — slice them off the front instead of masking
+    # (halves the (N, P, K, L) occlusion stream).
+    nd = scenery.n_dynamic
+    return intensity_at(C, lines_now[:, nd:], scenery.lines_width - nd, 0,
                         scenery.lights, scenery.lights_width)

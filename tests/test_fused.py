@@ -124,3 +124,38 @@ def test_explorer_fused_matches_split():
                                np.asarray(worlds[1].obs.rgb), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(worlds[0].obs.d),
                                np.asarray(worlds[1].obs.d), rtol=1e-5, atol=1e-6)
+
+
+def test_deathmatch_fused_matches_split():
+    """Deathmatch with the fused observe kernel (interpret mode) steps
+    identically to the split pipeline: same obs, shooting, health."""
+    from megastep_tpu.envs import Deathmatch
+    from megastep_tpu.arrdict import arrdict
+
+    geoms = floorplans.sample(2)
+    key = jax.random.PRNGKey(1)
+    envs = []
+    for f in (False, True):
+        np.random.seed(11)
+        envs.append(Deathmatch(8, n_agents=4, geometries=geoms, res=128,
+                               subsample=4, fused=f))
+    states, worlds = zip(*[e.reset(key) for e in envs])
+
+    for t in range(3):
+        k = jax.random.fold_in(key, t)
+        actions = jax.random.randint(k, (8, 1), 0, 7)
+        outs = [e.step(s, arrdict(actions=actions), k)
+                for e, s in zip(envs, states)]
+        states = [o[0] for o in outs]
+        worlds = [o[1] for o in outs]
+
+    np.testing.assert_array_equal(np.asarray(states[0].matchings),
+                                  np.asarray(states[1].matchings))
+    np.testing.assert_allclose(np.asarray(states[0].health),
+                               np.asarray(states[1].health), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(worlds[0].reward),
+                               np.asarray(worlds[1].reward), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(worlds[0].obs.rgb),
+                               np.asarray(worlds[1].obs.rgb), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(worlds[0].obs.d),
+                               np.asarray(worlds[1].obs.d), rtol=1e-5, atol=1e-6)
