@@ -35,9 +35,10 @@ class Explorer:
         tested equivalent.
     """
 
-    def __init__(self, n_envs, geometries=None, subsample=4, fused=None, **kwargs):
+    def __init__(self, n_envs, geometries=None, subsample=4, fused=None,
+                 pad_to=None, random=None, **kwargs):
         geometries = cubicasa.sample(n_envs) if geometries is None else geometries
-        scenery = scene.scenery(geometries, 1)
+        scenery = scene.scenery(geometries, 1, random=random, pad_to=pad_to)
         self.core = core.Core(scenery, res=kwargs.pop('res', 4 * 64),
                               fov=kwargs.pop('fov', 130), **kwargs)
         self._rgb = modules.RGB(self.core, n_agents=1, subsample=subsample)

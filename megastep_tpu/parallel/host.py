@@ -1,0 +1,74 @@
+"""Per-host environment construction for multi-host meshes.
+
+SURVEY §7 step 10 / the reference's ``rebar/processes.py:18-70`` role: at the
+64k-env / 4-host deliverable, a global build would make EVERY host compile-build
+the entire padded scenery. Here each host builds only its own env slice —
+geometry → textures → bake for ``n_envs / n_processes`` envs — and the shards
+are assembled into global sharded ``jax.Array``s with
+``jax.make_array_from_process_local_data``. The only global work per host is
+:func:`megastep_tpu.scene.padded_sizes` over the geometry *list* (cheap numpy),
+which guarantees all shards agree on padded shapes.
+"""
+import numpy as np
+import jax
+
+from .. import scene
+from .mesh import _REPLICATED_LEAF_NAMES, env_sharding, replicated
+
+__all__ = ['process_slice', 'assemble_env', 'sharded_explorer']
+
+
+def process_slice(n_envs):
+    """This process's contiguous env range ``(lo, hi)`` — mesh device order is
+    process-grouped, so an even split by process index matches the env-axis
+    sharding layout."""
+    procs = jax.process_count()
+    assert n_envs % procs == 0, (n_envs, procs)
+    n_local = n_envs // procs
+    lo = jax.process_index() * n_local
+    return lo, lo + n_local
+
+
+def assemble_env(local_env, m):
+    """Assembles per-host env shards into one global sharded env pytree.
+
+    Every leaf whose leading dim is the local env count becomes a global
+    env-sharded ``jax.Array`` built from this process's data; everything else
+    (the shared agent model, action tables) is replicated. The env object's
+    sizes (``n_envs`` etc.) derive from array shapes, so the assembled env is
+    globally sized automatically.
+    """
+    n_local = local_env.n_envs
+    if hasattr(local_env, 'core'):
+        n_local = local_env.core.n_envs
+    env_sh = env_sharding(m)
+    rep_sh = replicated(m)
+
+    def rule(path, x):
+        if not hasattr(x, 'shape'):
+            return x
+        names = {getattr(k, 'name', getattr(k, 'key', None)) for k in path}
+        x = np.asarray(x)
+        if not (names & set(_REPLICATED_LEAF_NAMES)) and x.ndim >= 1 \
+                and x.shape[0] == n_local:
+            return jax.make_array_from_process_local_data(env_sh, x)
+        return jax.make_array_from_process_local_data(rep_sh, x)
+
+    return jax.tree_util.tree_map_with_path(rule, local_env)
+
+
+def sharded_explorer(n_envs, m, geometries, seed=0, **kwargs):
+    """Builds an Explorer with per-host scenery construction and assembles it
+    over the mesh. ``geometries`` is the *global* list (length ``n_envs``); each
+    host compiles only its slice, padded to the global maxima.
+
+    :return: the globally-sharded Explorer.
+    """
+    from ..envs import Explorer
+    assert len(geometries) == n_envs
+    pad = scene.padded_sizes(geometries, n_agents=1)
+    lo, hi = process_slice(n_envs)
+    random = np.random.RandomState(seed + jax.process_index())
+    local = Explorer(hi - lo, geometries=geometries[lo:hi], pad_to=pad,
+                     random=random, **kwargs)
+    return assemble_env(local, m)

@@ -175,7 +175,23 @@ class Scenery:
                 widths=np.asarray(self.line_tex_widths[e, :L])))
 
 
-def scenery(geometries, n_agents=1, random=None, bake_fn='auto'):
+def padded_sizes(geometries, n_agents=1):
+    """The padded (Lmax, Kmax, Tmax) this geometry list compiles to, computed
+    without building any textures — cheap enough to run over the *global* list
+    on every host so that per-host scenery shards (``pad_to=``) agree on shape
+    (SURVEY §7 step 10's per-host geometry sharding)."""
+    n_dyn = n_agents * len(agent_model())
+    dyn_tex = int(resolutions(np.tile(agent_model(), (n_agents, 1, 1))).sum())
+    Lmax = Kmax = Tmax = 1
+    for g in geometries:
+        walls = np.asarray(g['walls'], dtype=float)
+        Lmax = max(Lmax, n_dyn + len(walls))
+        Kmax = max(Kmax, len(g['lights']))
+        Tmax = max(Tmax, dyn_tex + int(resolutions(walls).sum()))
+    return _round_up(Lmax, 16), _round_up(Kmax, 4), _round_up(Tmax, 128)
+
+
+def scenery(geometries, n_agents=1, random=None, bake_fn='auto', pad_to=None):
     """Compiles a list of geometries into a single padded :class:`Scenery` and bakes
     the static lighting.
 
@@ -187,6 +203,8 @@ def scenery(geometries, n_agents=1, random=None, bake_fn='auto'):
     :param n_agents: agents per env; their model lines head each env's line array.
     :param random: numpy RandomState for texture patterns and light intensities.
     :param bake_fn: 'auto' to run the standard bake, None to leave ``baked`` as ones.
+    :param pad_to: optional (Lmax, Kmax, Tmax) from :func:`padded_sizes` — pass the
+        global list's sizes when building a per-host shard so shards agree.
     """
     random = np.random if random is None else random
     agentlines = np.tile(agent_model(), (n_agents, 1, 1))
@@ -200,9 +218,15 @@ def scenery(geometries, n_agents=1, random=None, bake_fn='auto'):
         per_env.append((lights, lines, textures, texwidths))
 
     N = len(per_env)
-    Lmax = _round_up(max(len(p[1]) for p in per_env), 16)
-    Kmax = _round_up(max(max(len(p[0]) for p in per_env), 1), 4)
-    Tmax = _round_up(max(len(p[2]) for p in per_env), 128)
+    if pad_to is None:
+        Lmax = _round_up(max(len(p[1]) for p in per_env), 16)
+        Kmax = _round_up(max(max(len(p[0]) for p in per_env), 1), 4)
+        Tmax = _round_up(max(len(p[2]) for p in per_env), 128)
+    else:
+        Lmax, Kmax, Tmax = pad_to
+        assert Lmax >= max(len(p[1]) for p in per_env), 'pad_to Lmax too small'
+        assert Kmax >= max(len(p[0]) for p in per_env), 'pad_to Kmax too small'
+        assert Tmax >= max(len(p[2]) for p in per_env), 'pad_to Tmax too small'
 
     lines = np.zeros((N, Lmax, 2, 2), np.float32)
     lines_width = np.zeros(N, np.int32)
