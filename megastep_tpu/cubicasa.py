@@ -62,38 +62,71 @@ def download(url=URL, dest=None):
     return dest
 
 
-def svg_walls(svg):
-    """Parses wall segments from a cubicasa SVG (reference ``geometry.py:43-57``).
-    Requires bs4 and shapely."""
+def _points(attr):
+    return np.array([list(map(float, p.split(','))) for p in attr.split()])
+
+
+def _classes(e):
+    """Class tokens of an element, parser-agnostic: bs4's xml parser keeps
+    ``class`` a plain string while the html parsers split it into a list."""
+    if e is None:
+        return []
+    c = e.get('class', '')
+    return c.split() if isinstance(c, str) else list(c)
+
+
+def svg_elements(svg):
+    """Extracts the raw cubicasa SVG elements (pure bs4 + numpy, no geometry
+    dependencies): wall/railing polygons, door polygons, and space outlines
+    (reference selection rules, ``geometry.py:43-57``).
+
+    :return: dotdict of ``walls``/``doors``/``spaces`` — lists of (P, 2) point
+        arrays in SVG (cm) coordinates.
+    """
     from bs4 import BeautifulSoup
+
+    soup = BeautifulSoup(svg, features='xml')
+
+    def has(e, *names):
+        return any(c in names for c in _classes(e))
+
+    walls = []
+    for e in soup.select('polygon'):
+        if has(e.parent, 'Wall', 'Railing'):
+            pts = _points(e['points'])
+            if len(pts) >= 3:
+                walls.append(pts)
+    doors = []
+    for e in soup.select('g'):
+        if has(e, 'Door'):
+            pts = [p for poly in e.select('polygon')
+                   for p in poly.get('points', '').split()]
+            if pts:
+                pts = np.array([list(map(float, p.split(','))) for p in pts])
+                if len(pts) >= 3:
+                    doors.append(pts)
+    spaces = []
+    for e in soup.select('g'):
+        if has(e, 'Space'):
+            poly = e.select_one('polygon')
+            if poly is not None:
+                pts = _points(poly['points'])
+                if len(pts) >= 3:
+                    spaces.append(pts)
+    return dotdict(walls=walls, doors=doors, spaces=spaces)
+
+
+def svg_walls(svg):
+    """Parses wall segments from a cubicasa SVG: union the wall polygons,
+    subtract dilated doors, take the boundary rings as segments (reference
+    ``geometry.py:43-57``). Requires shapely (bs4 parsing lives in
+    :func:`svg_elements`)."""
     import shapely.geometry as sg
     import shapely.ops
 
-    soup = BeautifulSoup(svg, features='xml')
-    polys = []
-    for e in soup.select('polygon'):
-        cls = ' '.join(e.parent.get('class', []) if e.parent else [])
-        if 'Wall' in cls or 'Railing' in cls:
-            pts = np.array([list(map(float, p.split(','))) for p in e['points'].split()])
-            if len(pts) >= 3:
-                polys.append(sg.Polygon(pts).buffer(0))
-    doors = []
-    for e in soup.select('g'):
-        if 'Door' in ' '.join(e.get('class', [])):
-            pts = [p for poly in e.select('polygon')
-                   for p in poly.get('points', '').split()]
-            pts = np.array([list(map(float, p.split(','))) for p in pts]) if pts else None
-            if pts is not None and len(pts) >= 3:
-                doors.append(sg.Polygon(pts).buffer(.5))
-    spaces = []
-    for e in soup.select('g'):
-        cls = ' '.join(e.get('class', []))
-        if 'Space' in cls:
-            poly = e.select_one('polygon')
-            if poly is not None:
-                pts = np.array([list(map(float, p.split(','))) for p in poly['points'].split()])
-                if len(pts) >= 3:
-                    spaces.append(pts)
+    els = svg_elements(svg)
+    polys = [sg.Polygon(pts).buffer(0) for pts in els.walls]
+    doors = [sg.Polygon(pts).buffer(.5) for pts in els.doors]
 
     merged = shapely.ops.unary_union(polys)
     for d in doors:
@@ -107,7 +140,7 @@ def svg_walls(svg):
         for ring in [g.exterior, *g.interiors]:
             coords = np.array(ring.coords)
             walls.extend(np.stack([coords[:-1], coords[1:]], 1))
-    return np.array(walls), spaces
+    return np.array(walls), els.spaces
 
 
 def svg_geometry(id, svg):

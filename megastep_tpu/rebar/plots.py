@@ -1,18 +1,22 @@
 """Live training dashboards.
 
-Counterpart of the reference ``rebar/plots.py`` (Bokeh streaming dashboards,
-``plots.py:180-233``). Bokeh is optional here; when absent, :func:`review` renders a
-static matplotlib grid of the same stats — good enough for headless runs and CI.
+Role counterpart of the reference ``rebar/plots.py`` (Bokeh streaming
+dashboards, ``plots.py:180-233``), redesigned backend-agnostic: a
+:class:`Stream` polls the run's stats reader and pushes ONLY the new resampled
+rows into an existing figure — matplotlib by default (works headless, in
+notebooks, and over ssh), Bokeh with notebook push when available. ``view()``
+loops a Stream; ``review()`` renders the current state once.
 """
 import re
+import time
 from collections import defaultdict
 
 from .stats import Reader
+from .stats.reading import tdformat
 
 
 def timegroups(df):
-    """Groups stat columns into charts by their ``chart/label`` name split
-    (reference ``plots.py:173-177``)."""
+    """Groups stat columns into charts by their ``chart/label`` name split."""
     groups = defaultdict(list)
     for col in df.columns:
         m = re.match(r'^(.*?)/(.*)$', col)
@@ -21,57 +25,151 @@ def timegroups(df):
     return dict(groups)
 
 
-def review(run_name=-1, rule='60s', prefix=''):
-    """Static matplotlib dashboard of a finished (or running) run's stats."""
-    import matplotlib.pyplot as plt
-    df = Reader(run_name, prefix).resample(rule)
-    groups = timegroups(df)
-    if not groups:
-        raise ValueError('No stats found for this run')
+def _td_axis(ax):
+    """Formats a seconds x-axis as compact timedeltas (1m30s, 2h05m...)."""
+    import datetime
+    import matplotlib.ticker as mtick
+    ax.xaxis.set_major_formatter(mtick.FuncFormatter(
+        lambda x, _: tdformat(datetime.timedelta(seconds=max(x, 0)))))
 
-    n = len(groups)
-    cols = min(n, 3)
-    rows = -(-n // cols)
-    fig, axes = plt.subplots(rows, cols, squeeze=False, figsize=(6 * cols, 3 * rows))
-    axes = axes.flatten()
-    for ax, (chart, columns) in zip(axes, groups.items()):
-        for col in columns:
+
+class Stream:
+    """An incrementally-updated stats dashboard.
+
+    Each :meth:`update` re-resamples the run's stats and appends only rows past
+    the high-water mark to the existing artists; the figure is rebuilt only
+    when the column set changes (a new stat appearing mid-run).
+    """
+
+    def __init__(self, run_name=-1, prefix='', backend=None):
+        self._reader = Reader(run_name, prefix)
+        if backend is None:
+            backend = 'bokeh' if self._bokeh_usable() else 'matplotlib'
+        self._backend = backend
+        self._columns = None
+        self._drawn = 0
+        self._fig = None
+
+    @staticmethod
+    def _bokeh_usable():
+        try:
+            import bokeh.io  # noqa: F401
+            from IPython import get_ipython
+            return get_ipython() is not None
+        except ImportError:
+            return False
+
+    # -- matplotlib backend ------------------------------------------------
+    def _mpl_build(self, df):
+        import matplotlib.pyplot as plt
+        groups = timegroups(df)
+        n = max(len(groups), 1)
+        cols = min(n, 3)
+        rows = -(-n // cols)
+        if self._fig is not None:
+            import matplotlib.pyplot as plt
+            plt.close(self._fig)
+        self._fig, axes = plt.subplots(rows, cols, squeeze=False,
+                                       figsize=(5 * cols, 2.5 * rows))
+        axes = axes.flatten()
+        self._lines = {}
+        for ax, (chart, columns) in zip(axes, groups.items()):
+            for col in columns:
+                (line,) = ax.plot([], [], label=col.split('/', 1)[-1])
+                self._lines[col] = line
+            ax.set_title(chart, fontsize='small')
+            ax.legend(fontsize='x-small')
+            _td_axis(ax)
+        for ax in axes[len(groups):]:
+            ax.axis('off')
+        self._fig.tight_layout()
+
+    def _mpl_push(self, df):
+        for col in df.columns:
+            line = self._lines[col]
             series = df[col].dropna()
-            ax.plot(series.index.total_seconds(), series.values,
-                    label=col.split('/', 1)[-1])
-        ax.set_title(chart)
-        ax.legend(fontsize='small')
-        ax.set_xlabel('seconds')
-    for ax in axes[len(groups):]:
-        ax.axis('off')
-    fig.tight_layout()
-    return fig
+            line.set_data(series.index.total_seconds(), series.values)
+            ax = line.axes
+            ax.relim()
+            ax.autoscale_view()
+        self._fig.canvas.draw_idle()
 
-
-def view(run_name=-1, rule='15s'):
-    """Live Bokeh dashboard (requires bokeh; reference ``plots.py:180-233``)."""
-    try:
+    # -- bokeh backend -----------------------------------------------------
+    def _bokeh_build(self, df):
         import bokeh.io as bio
-        import bokeh.plotting as bop
         import bokeh.layouts as bol
-    except ImportError as e:
-        raise ImportError(
-            'bokeh is not installed; use plots.review() for a static dashboard') from e
+        import bokeh.models as bom
+        import bokeh.plotting as bop
+        self._sources = {}
+        figures = []
+        for chart, columns in timegroups(df).items():
+            f = bop.figure(title=chart, width=350, height=250)
+            f.xaxis.formatter = bom.CustomJSTickFormatter(code="""
+                var s = Math.max(tick, 0), h = Math.floor(s/3600);
+                var m = Math.floor((s - 3600*h)/60), r = Math.floor(s % 60);
+                return h ? h+'h'+('0'+m).slice(-2)+'m'
+                         : (m ? m+'m'+('0'+r).slice(-2)+'s' : r+'s');""")
+            for col in columns:
+                src = bom.ColumnDataSource({'t': [], 'v': []})
+                f.line('t', 'v', source=src, legend_label=col.split('/', 1)[-1])
+                self._sources[col] = src
+            figures.append(f)
+        self._grid = bol.gridplot(
+            [figures[i:i + 3] for i in range(0, len(figures), 3)])
+        self._handle = bio.show(self._grid, notebook_handle=True)
 
-    reader = Reader(run_name)
-    df = reader.resample(rule)
-    groups = timegroups(df)
+    def _bokeh_push(self, df, new_from):
+        import bokeh.io as bio
+        new = df.iloc[new_from:]
+        for col in df.columns:
+            series = new[col].dropna()
+            self._sources[col].stream(
+                {'t': series.index.total_seconds(), 'v': series.values})
+        bio.push_notebook(handle=self._handle)
 
-    figures = []
-    for chart, columns in groups.items():
-        f = bop.figure(title=chart, width=350, height=250,
-                       x_axis_label='seconds')
-        for i, col in enumerate(columns):
-            series = df[col].dropna()
-            f.line(series.index.total_seconds(), series.values,
-                   legend_label=col.split('/', 1)[-1])
-        figures.append(f)
+    # ----------------------------------------------------------------------
+    def update(self, rule='60s'):
+        """One poll: resample, rebuild if the column set changed, then push
+        the new rows. Returns the number of resampled rows currently shown."""
+        df = self._reader.resample(rule)
+        if df.empty:
+            return 0
+        cols = tuple(df.columns)
+        if cols != self._columns:
+            self._columns = cols
+            self._drawn = 0
+            (self._bokeh_build if self._backend == 'bokeh'
+             else self._mpl_build)(df)
+        if self._backend == 'bokeh':
+            self._bokeh_push(df, self._drawn)
+        else:
+            self._mpl_push(df)
+        self._drawn = len(df)
+        return self._drawn
 
-    grid = bol.gridplot([figures[i:i + 3] for i in range(0, len(figures), 3)])
-    bio.show(grid)
-    return grid
+    def watch(self, rule='60s', interval=1., updates=None):
+        """Polls forever (or ``updates`` times), sleeping ``interval`` between."""
+        import matplotlib.pyplot as plt
+        n = 0
+        while updates is None or n < updates:
+            self.update(rule)
+            if self._backend == 'matplotlib' and self._fig is not None:
+                plt.pause(interval)
+            else:
+                time.sleep(interval)
+            n += 1
+
+
+def view(run_name=-1, prefix='', rule='60s', interval=1., updates=None):
+    """Live dashboard of a running run: builds a Stream and polls it."""
+    stream = Stream(run_name, prefix)
+    stream.watch(rule=rule, interval=interval, updates=updates)
+    return stream
+
+
+def review(run_name=-1, prefix='', rule='60s'):
+    """Renders the current state of a (finished or running) run's stats once."""
+    stream = Stream(run_name, prefix, backend='matplotlib')
+    if not stream.update(rule=rule):
+        raise ValueError('No stats found for this run')
+    return stream._fig

@@ -194,3 +194,32 @@ def test_category_reductions():
         pd.DataFrame({'count': [10, 20, 40]}, index=idx), rule='60s')
     # 70 events over the 70 s span, bucketed 60 s: first bucket 30 events.
     np.testing.assert_allclose(rate.values[0], 30 / 60)
+
+
+def test_plots_stream_incremental():
+    """Stream pushes new resampled rows into the existing figure without a
+    rebuild; a new column triggers one (``rebar/plots.py``)."""
+    import matplotlib
+    matplotlib.use('Agg')
+
+    with stats.to_dir('test-stream-run'):
+        for i in range(3):
+            stats.mean('loss/total', 1. / (i + 1))
+        stream = plots.Stream('test-stream-run', backend='matplotlib')
+        n0 = stream.update(rule='1s')
+        assert n0 > 0
+        fig0 = stream._fig
+        pts0 = len(stream._lines['loss/total'].get_xdata())
+
+        time.sleep(1.1)
+        for i in range(3):
+            stats.mean('loss/total', 2. / (i + 1))
+        n1 = stream.update(rule='1s')
+        assert n1 >= n0
+        assert stream._fig is fig0  # same columns: no rebuild
+        assert len(stream._lines['loss/total'].get_xdata()) >= pts0
+
+        stats.mean('reward/mean', 1.)
+        stream.update(rule='1s')
+        assert stream._fig is not fig0  # new column: rebuilt
+        assert 'reward/mean' in stream._lines
