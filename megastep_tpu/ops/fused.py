@@ -234,8 +234,21 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
             seen_ref[0, 0, e] = counts
 
 
-def default_env_block(n_envs):
-    return 8 if n_envs % 8 == 0 else 1
+# Empirical per-env scoped-VMEM footprint: ~14 live (L, R) f32 buffers in the
+# raycast, plus the (W, R)/(B, R) one-hots and the 3-way split table copies.
+_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def default_env_block(n_envs, n_lines=64, res=256, n_blocks=16):
+    """Largest env unroll (8 → 1) whose estimated scoped-VMEM footprint fits.
+    Cubicasa-scale scenes (L≈224, T≈14k) still take E=8; the fallback matters
+    only for far larger line counts."""
+    per_env = 14 * n_lines * res * 4 + 3 * n_blocks * 8 * LO_WIDTH * 4 \
+        + 2 * (LO_WIDTH + n_blocks) * res * 4
+    for e in (8, 4, 2, 1):
+        if n_envs % e == 0 and e * per_env <= _VMEM_BUDGET:
+            return e
+    return 1
 
 
 @partial(jax.jit, static_argnames=('res', 'half_screen_width', 'agent_radius',
@@ -255,7 +268,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
     N, A = angles.shape
     L = lines_now.shape[1]
     B = table8.shape[1] // 8
-    E = default_env_block(N) if env_block is None else env_block
+    E = default_env_block(N, L, res, B) if env_block is None else env_block
     NB = N // E
 
     flat = lines_now.reshape(NB, E, L, 4)

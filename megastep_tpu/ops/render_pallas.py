@@ -1,4 +1,10 @@
-"""Pallas TPU kernel for the raycaster — the engine's hottest op.
+"""Pallas TPU kernel for the raycaster (standalone; superseded on the hot path).
+
+The production observe path is :mod:`megastep_tpu.ops.fused`, which fuses this
+raycast with the shader and seen-reduction in a better layout (lines on
+sublanes) and wins at every measured scale, including cubicasa-sized scenes.
+This kernel remains as the drop-in raycast-only replacement behind
+``render(backend='pallas')`` for API parity with the split pipeline.
 
 The pure-jnp raycast (:func:`megastep_tpu.ops.render.raycast`) is the correctness
 ground truth; this kernel computes the identical nearest-hit reduction with the

@@ -27,13 +27,23 @@ def main():
     p.add_argument('--env-block', type=int, default=None)
     p.add_argument('--which', default='both', choices=['both', 'split', 'fused'])
     p.add_argument('--no-seen', action='store_true')
+    p.add_argument('--geom-size', type=float, default=None,
+                   help='outer floorplan extent (m); ~22 gives cubicasa-scale '
+                        '(200+ wall) scenes')
+    p.add_argument('--geom-depth', type=int, default=4)
     args = p.parse_args()
 
     from megastep_tpu import core, floorplans, scene
     from megastep_tpu.ops import fused, render
 
-    geoms = floorplans.sample(min(args.envs, 512))
+    kw = {}
+    if args.geom_size:
+        kw = dict(width=args.geom_size, height=args.geom_size,
+                  max_depth=args.geom_depth, stop=.02)
+    geoms = floorplans.sample(min(args.envs, 512), **kw)
     geoms = [geoms[i % len(geoms)] for i in range(args.envs)]
+    print('walls per scene:', min(len(g.walls) for g in geoms), '-',
+          max(len(g.walls) for g in geoms))
     scn = scene.scenery(geoms, n_agents=args.agents)
     c = core.Core(scn, res=args.res, fov=130)
     agents = c.init_agents()
