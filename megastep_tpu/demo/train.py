@@ -193,7 +193,7 @@ def init_carry(env, agent, opt, key):
 
 def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
           width=256, lr=3e-4, steps=None, run_name=None, seed=0, resume=None,
-          **hp):
+          profile=None, **hp):
     """The training entry point (reference ``train()``,
     ``demo/__init__.py:109-148``): Explorer + 256-wide LSTM agent + clipped
     Adam(amsgrad), stats and throttled checkpoints to the run directory. Runs
@@ -204,6 +204,9 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
         load params from before training — the resume half of the reference's
         manual ``storing.load`` → ``load_state_dict`` flow
         (``demo/__init__.py:155-156``).
+    :param profile: chunk index at which to capture a ``jax.profiler`` trace
+        into the run's ``profile`` directory (the TPU counterpart of the
+        reference's nvprof ``-lineinfo`` hooks, SURVEY §5.1); None disables.
     """
     from ..envs import Explorer
     from ..rebar import interrupting, paths, stats, storing, widgets
@@ -229,8 +232,19 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
         i = 0
         while steps is None or i < steps:
             key, k = jax.random.split(key)
-            carry, metrics = step(env, carry, k)
+            t0 = time.time()
+            if i == profile:
+                with jax.profiler.trace(
+                        str(paths.subdirectory(run_name, 'profile'))):
+                    carry, metrics = step(env, carry, k)
+                    jax.block_until_ready(metrics['loss'])
+            else:
+                carry, metrics = step(env, carry, k)
             metrics = {k2: float(v) for k2, v in metrics.items()}
+            step_s = time.time() - t0
+            t1 = time.time()
+            storing.store_latest(
+                run_name, dict(agent=jax.device_get(carry.params)), throttle=60)
             with stats.defer():
                 stats.rate('sample-rate/actor', int(metrics.pop('samples')))
                 stats.mean('traj-reward/mean', metrics.pop('traj_reward'))
@@ -238,8 +252,8 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
                 stats.cumsum('count/traj', metrics.pop('trajs'))
                 for k2, v in metrics.items():
                     stats.mean(f'opt/{k2}', v)
-            storing.store_latest(
-                run_name, dict(agent=jax.device_get(carry.params)), throttle=60)
+                stats.duty('duty/step', step_s)
+                stats.duty('duty/store', time.time() - t1)
             log.info('step %d done', i)
             i += 1
             interrupt.check()
