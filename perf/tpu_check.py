@@ -1,0 +1,78 @@
+"""On-TPU equivalence check: the COMPILED fused kernel vs the split pipeline.
+
+The CPU test suite pins the fused kernel in interpret mode; this script runs
+the same comparison against real Mosaic on the chip (indices exact, values to
+f32 ULPs, seen sets exact). Run: python perf/tpu_check.py
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def check(n_envs, n_agents, res, geom_kw, tag):
+    from megastep_tpu import core, floorplans, scene
+    from megastep_tpu.ops import fused, render
+
+    geoms = floorplans.sample(n_envs, **geom_kw)
+    scn = scene.scenery(geoms, n_agents=n_agents,
+                        random=np.random.RandomState(0))
+    c = core.Core(scn, res=res, fov=130)
+    agents = c.init_agents()
+    key = jax.random.PRNGKey(42)
+    agents['positions'] = 4. + 3 * jax.random.uniform(key, agents.positions.shape)
+    agents['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
+
+    lines_now = render.draw(scn, agents)
+    rc = render.raycast(lines_now, scn.lines_width, agents.angles,
+                        agents.positions, res, c.half_screen_width,
+                        c.agent_radius)
+    screen = render.shade(scn, rc, scn.baked, method='onehot')
+
+    out = fused.observe(
+        lines_now, fused.line_attrs(lines_now, scn), fused.pack_table8(scn),
+        scn.lines_width, agents.angles, agents.positions, res,
+        c.half_screen_width, c.agent_radius, want_seen=True)
+
+    idx_match = np.array_equal(np.asarray(rc.indices), np.asarray(out.indices))
+    d_err = np.nanmax(np.abs(np.where(np.isinf(np.asarray(rc.distances)), 0,
+                                      np.asarray(rc.distances))
+                             - np.where(np.isinf(np.asarray(out.distances)), 0,
+                                        np.asarray(out.distances))))
+    s_err = np.abs(np.asarray(screen)
+                   - np.asarray(out.screen).transpose(0, 1, 3, 2)).max()
+
+    # Seen set vs the split path's tex-index computation.
+    N = rc.indices.shape[0]
+    line = jnp.maximum(rc.indices.reshape(N, -1), 0)
+    hit = rc.indices.reshape(N, -1) >= 0
+    attrs = jnp.stack([scn.line_tex_starts, scn.line_tex_widths],
+                      -1).astype(jnp.float32)
+    sw = render.onehot_lookup(attrs, line)
+    start, width = sw[..., 0].astype(jnp.int32), sw[..., 1].astype(jnp.int32)
+    loc = jnp.where(hit, rc.locations.reshape(N, -1), 0.)
+    ti = jnp.minimum(jnp.floor(width * loc), width - 1).astype(jnp.int32)
+    tex = start + jnp.maximum(ti, 0)
+    T = scn.baked.shape[1]
+    seen_ref = np.asarray(render.onehot_any(tex, hit, T))
+    seen_got = np.asarray(out.seen_counts[:, :T] > 0)
+    seen_diff = int((seen_ref != seen_got).sum())
+
+    print(f'{tag}: indices_exact={idx_match} max_dist_err={d_err:.2e} '
+          f'max_screen_err={s_err:.2e} seen_mismatches={seen_diff}')
+    ok = idx_match and d_err < 1e-3 and s_err < 1e-4 and seen_diff == 0
+    if not ok:
+        raise SystemExit(f'{tag}: MISMATCH')
+
+
+if __name__ == '__main__':
+    check(256, 1, 256, {}, 'explorer-shape')
+    check(64, 4, 512, {}, 'deathmatch-shape')
+    check(64, 1, 256, dict(width=30., height=30., max_depth=9, stop=.02),
+          'cubicasa-scale')
+    print('ALL OK (compiled Mosaic kernel matches the split pipeline on TPU)')
