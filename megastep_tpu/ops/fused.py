@@ -130,7 +130,9 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         ay = lines[:, 1:2]
         vx = lines[:, 2:3] - ax
         vy = lines[:, 3:4] - ay
-        live = iota_l < width_ref[0, 0, e]                             # (L, 1)
+        # No explicit liveness mask: padded line slots are all-zero segments,
+        # so uxv == 0 -> parallel -> sq = inf -> invalid, identically to the
+        # jnp reference's width mask (pays for itself: one (L, R) AND less).
 
         ang = pose_ref[0, e, a, 0] * (jnp.pi / 180)
         co, si = jnp.cos(ang), jnp.sin(ang)
@@ -153,10 +155,12 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         sq = jnp.where(distant, jnp.inf, s_num * rinv)                 # (L, R)
         tq = jnp.where(distant, jnp.inf, t_num * rinv)
 
-        valid = (0 <= tq) & (tq <= 1) & (near < sq) & live
+        valid = (0 <= tq) & (tq <= 1) & (near < sq)
         s_masked = jnp.where(valid, sq, jnp.inf)
         s_min = jnp.min(s_masked, axis=0, keepdims=True)               # (1, R)
-        eligible = valid & (sq < s_min + Z_TOLERANCE)
+        # s_masked is inf on invalid lanes, so the tolerance test alone is the
+        # eligibility test (one AND less than valid & (sq < ...)).
+        eligible = s_masked < s_min + Z_TOLERANCE
         idx = jnp.min(jnp.where(eligible, iota_l, L), axis=0, keepdims=True)
         found = idx < L                                                # (1, R)
         idx0 = jnp.where(found, idx, 0)
@@ -240,12 +244,12 @@ _VMEM_BUDGET = 80 * 1024 * 1024
 
 
 def default_env_block(n_envs, n_lines=64, res=256, n_blocks=16):
-    """Largest env unroll (8 → 1) whose estimated scoped-VMEM footprint fits.
-    Cubicasa-scale scenes (L≈224, T≈14k) still take E=8; the fallback matters
-    only for far larger line counts."""
+    """Largest env unroll (32 → 1) whose estimated scoped-VMEM footprint fits
+    (measured at Explorer shapes: E=32 is ~12% faster than E=8, E=64 marginal;
+    cubicasa-scale scenes L≈224 drop to E=16)."""
     per_env = 14 * n_lines * res * 4 + 3 * n_blocks * 8 * LO_WIDTH * 4 \
         + 2 * (LO_WIDTH + n_blocks) * res * 4
-    for e in (8, 4, 2, 1):
+    for e in (32, 16, 8, 4, 2, 1):
         if n_envs % e == 0 and e * per_env <= _VMEM_BUDGET:
             return e
     return 1
