@@ -50,7 +50,7 @@ class Explorer:
         # The shade table is static for a single-agent env (no dynamic re-bake);
         # pre-packed once for the fused kernel.
         from ..ops import fused as fused_ops
-        self._table8 = fused_ops.pack_table8(scenery)
+        self._table8 = fused_ops.split_table8(fused_ops.pack_table8(scenery))
 
         self.action_space = self._mover.space
         self.obs_space = dotdict(

@@ -25,11 +25,13 @@ Layout choices (each measured; see PERF.md):
     (128, R) "lo" and a (B, R) "hi" one-hot (16× cheaper to build); the table
     lookup becomes one (B·8, 128) @ (128, R) MXU product over the lo axis
     followed by a tiny static loop over the B hi-blocks.
-  * the f32 texel table is split in-kernel into three bf16 components
-    (t = t1+t2+t3, disjoint mantissa chunks — the same decomposition XLA's
-    HIGHEST uses); each component multiplies the exact 0/1 bf16 one-hot in a
-    native 1-pass bf16 MXU product, so the lookup is bit-exact at half the
-    passes of an f32 HIGHEST dot.
+  * the f32 texel table is pre-split (:func:`split_table8`) into three bf16
+    components (t = t1+t2+t3, disjoint mantissa chunks — the same decomposition
+    XLA's HIGHEST uses); each component multiplies the exact 0/1 bf16 one-hot
+    in a native 1-pass bf16 MXU product, so the lookup is bit-exact at half the
+    passes of an f32 HIGHEST dot. The split is done once outside the kernel
+    (statically for single-agent envs) — in-kernel it cost ~0.1 µs per
+    (env, agent).
   * seen-texel counts contract the ray axis on the MXU —
     (B, R) · (128, R)ᵀ — and are written as a per-env (B, 128) tile block,
     reshaped to (T,) outside (row-major, so the reshape is free in XLA).
@@ -101,15 +103,26 @@ def _split3(x):
     return t1, t2, t3
 
 
+def split_table8(table8):
+    """Pre-splits the shade table into its three exact bf16 components
+    (see :func:`_split3`), stacked as (N, 3, B*8, 128) bf16 — computed once
+    outside the kernel (statically for single-agent envs) instead of per
+    (env, agent) program, which measured ~0.1 µs/env of in-kernel VPU time."""
+    return jnp.stack(_split3(table8), 1)
+
+
 def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
-                    want_seen,
+                    want_seen, presplit,
                     lines_ref, attrs_ref, table_ref, width_ref, pose_ref,
                     idx_ref, dist_ref, r_ref, g_ref, b_ref, seen_ref):
     """One program = ``env_block`` envs × one agent × all ``res`` rays.
 
-    Blocks: lines (1, E, L, 4) VMEM · attrs (1, E, 4, L) VMEM · table
-    (1, E, B*8, 128) VMEM · width (1, 1, E) SMEM i32 · pose (1, E, A, 3) SMEM →
-    outputs idx/dist/r/g/b (1, 1, E, R) + seen counts (1, 1, E, B, 128).
+    Blocks: lines (1, E, L, 4) VMEM · attrs (1, E, 4, L) VMEM · table — either
+    (1, E, 3, B*8, 128) bf16 (pre-split, :func:`split_table8`; the right form
+    for static tables) or (1, E, B*8, 128) f32 (split in-kernel; cheaper when
+    the table is rebuilt every frame, e.g. the dynamic re-bake) · width
+    (1, 1, E) SMEM i32 · pose (1, E, A, 3) SMEM → outputs idx/dist/r/g/b
+    (1, 1, E, R) + seen counts (1, 1, E, B, 128).
     """
     L = lines_ref.shape[2]
     R = res
@@ -197,10 +210,11 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         onehot_lo = (iota_w == tap_lo).astype(jnp.bfloat16)            # (W, R)
         onehot_hi = (iota_b == tap_hi).astype(jnp.float32)             # (B, R)
 
-        t1, t2, t3 = _split3(table_ref[0, e])                          # (B*8, W)
+        splits = ((table_ref[0, e, 0], table_ref[0, e, 1], table_ref[0, e, 2])
+                  if presplit else _split3(table_ref[0, e]))
         inner = sum(
             jnp.dot(t, onehot_lo, preferred_element_type=jnp.float32)
-            for t in (t1, t2, t3))                                     # (B*8, R)
+            for t in splits)                                           # (B*8, R)
         taps = jnp.zeros((8, R), jnp.float32)
         for bb in range(B):
             taps = taps + inner[bb * 8:(bb + 1) * 8] * onehot_hi[bb:bb + 1]
@@ -264,25 +278,30 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
 
     :param lines_now: (N, L, 2, 2) this frame's lines (after :func:`render.draw`).
     :param attrs: (N, 4, L) from :func:`line_attrs`.
-    :param table8: (N, B*8, 128) from :func:`pack_table8`.
+    :param table8: the shade table — (N, 3, B*8, 128) bf16 from
+        :func:`split_table8` (pre-split; right for static tables) or
+        (N, B*8, 128) f32 straight from :func:`pack_table8` (split in-kernel;
+        right for per-frame tables, where an XLA-side split costs more).
     :return: arrdict with ``indices`` (N, A, R) i32, ``distances`` (N, A, R),
         ``screen`` (N, A, 3, R), and (if ``want_seen``) ``seen_counts``
         (N, B*128) — slice to the scenery's T texels.
     """
     N, A = angles.shape
     L = lines_now.shape[1]
-    B = table8.shape[1] // 8
+    presplit = table8.ndim == 4
+    B = table8.shape[-2] // 8
     E = default_env_block(N, L, res, B) if env_block is None else env_block
     NB = N // E
 
     flat = lines_now.reshape(NB, E, L, 4)
     attrs = attrs.reshape(NB, E, 4, L)
-    table8 = table8.reshape(NB, E, 8 * B, LO_WIDTH)
+    table8 = (table8.reshape(NB, E, 3, 8 * B, LO_WIDTH) if presplit
+              else table8.reshape(NB, E, 8 * B, LO_WIDTH))
     width3d = lines_width.reshape(NB, 1, E).astype(jnp.int32)
     pose = jnp.concatenate([angles[..., None], positions], -1).reshape(NB, E, A, 3)
 
     kernel = partial(_observe_kernel, res, E, B, float(half_screen_width),
-                     float(agent_radius), want_seen)
+                     float(agent_radius), want_seen, presplit)
     out_shape = [
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.int32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
@@ -298,8 +317,11 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, E, 4, L), lambda n, a: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E, 8 * B, LO_WIDTH), lambda n, a: (n, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((1, E, 3, 8 * B, LO_WIDTH),
+                          lambda n, a: (n, 0, 0, 0, 0),
+                          memory_space=pltpu.VMEM) if presplit else
+             pl.BlockSpec((1, E, 8 * B, LO_WIDTH), lambda n, a: (n, 0, 0, 0),
+                          memory_space=pltpu.VMEM)),
             pl.BlockSpec((1, 1, E), lambda n, a: (n, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, E, A, 3), lambda n, a: (n, 0, 0, 0),

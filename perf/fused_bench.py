@@ -56,7 +56,7 @@ def main():
     T = scn.baked.shape[1]
     print(f'N={args.envs} A={args.agents} res={args.res} L={L} T={T}')
 
-    table8 = fused.pack_table8(scn)
+    table8 = fused.split_table8(fused.pack_table8(scn))
 
     def split_step(scn, agents, carry, _):
         ag = type(agents)(angles=agents.angles + carry, positions=agents.positions,

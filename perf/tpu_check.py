@@ -35,7 +35,7 @@ def check(n_envs, n_agents, res, geom_kw, tag):
     screen = render.shade(scn, rc, scn.baked, method='onehot')
 
     out = fused.observe(
-        lines_now, fused.line_attrs(lines_now, scn), fused.pack_table8(scn),
+        lines_now, fused.line_attrs(lines_now, scn), fused.split_table8(fused.pack_table8(scn)),
         scn.lines_width, agents.angles, agents.positions, res,
         c.half_screen_width, c.agent_radius, want_seen=True)
 

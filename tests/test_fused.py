@@ -50,7 +50,7 @@ def test_fused_observe_matches_split_pipeline():
     want_seen = _seen_reference(scn, want)
 
     got = fused.observe(
-        lines_now, fused.line_attrs(lines_now, scn), fused.pack_table8(scn),
+        lines_now, fused.line_attrs(lines_now, scn), fused.split_table8(fused.pack_table8(scn)),
         scn.lines_width, agents.angles, agents.positions, c.res,
         c.half_screen_width, c.agent_radius, want_seen=True, env_block=2,
         interpret=True)
@@ -80,7 +80,7 @@ def test_fused_observe_floorplan_single_agent():
     want_seen = _seen_reference(scn, want)
 
     got = fused.observe(
-        lines_now, fused.line_attrs(lines_now, scn), fused.pack_table8(scn),
+        lines_now, fused.line_attrs(lines_now, scn), fused.split_table8(fused.pack_table8(scn)),
         scn.lines_width, agents.angles, agents.positions, c.res,
         c.half_screen_width, c.agent_radius, want_seen=True, env_block=1,
         interpret=True)
