@@ -112,9 +112,10 @@ def split_table8(table8):
 
 
 def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
-                    want_seen, presplit,
+                    want_seen, presplit, n_agents,
                     lines_ref, attrs_ref, table_ref, width_ref, pose_ref,
-                    idx_ref, dist_ref, r_ref, g_ref, b_ref, seen_ref):
+                    idx_ref, dist_ref, r_ref, g_ref, b_ref, seen_ref,
+                    *scratch):
     """One program = ``env_block`` envs × one agent × all ``res`` rays.
 
     Blocks: lines (1, E, L, 4) VMEM · attrs (1, E, 4, L) VMEM · table — either
@@ -129,6 +130,21 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
     B = n_blocks
     W = LO_WIDTH
     a = pl.program_id(1)
+
+    if scratch:
+        # Multi-agent + unsplit table: the 3-way bf16 split is per-env work
+        # shared by all agents. The grid's agent axis is sequential, so the
+        # first agent's program splits into a persistent VMEM scratch and the
+        # rest reuse it.
+        split_ref = scratch[0]
+
+        @pl.when(a == 0)
+        def _():
+            for e in range(env_block):
+                t1, t2, t3 = _split3(table_ref[0, e])
+                split_ref[e, 0] = t1
+                split_ref[e, 1] = t2
+                split_ref[e, 2] = t3
 
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)            # (L, 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)            # (1, R)
@@ -210,8 +226,12 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         onehot_lo = (iota_w == tap_lo).astype(jnp.bfloat16)            # (W, R)
         onehot_hi = (iota_b == tap_hi).astype(jnp.float32)             # (B, R)
 
-        splits = ((table_ref[0, e, 0], table_ref[0, e, 1], table_ref[0, e, 2])
-                  if presplit else _split3(table_ref[0, e]))
+        if presplit:
+            splits = (table_ref[0, e, 0], table_ref[0, e, 1], table_ref[0, e, 2])
+        elif scratch:
+            splits = (split_ref[e, 0], split_ref[e, 1], split_ref[e, 2])
+        else:
+            splits = _split3(table_ref[0, e])
         inner = sum(
             jnp.dot(t, onehot_lo, preferred_element_type=jnp.float32)
             for t in splits)                                           # (B*8, R)
@@ -301,7 +321,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
     pose = jnp.concatenate([angles[..., None], positions], -1).reshape(NB, E, A, 3)
 
     kernel = partial(_observe_kernel, res, E, B, float(half_screen_width),
-                     float(agent_radius), want_seen, presplit)
+                     float(agent_radius), want_seen, presplit, A)
     out_shape = [
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.int32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
@@ -310,8 +330,12 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
         jax.ShapeDtypeStruct((NB, A, E, B, LO_WIDTH), jnp.float32)]
 
+    scratch_shapes = []
+    if not presplit and A > 1:
+        scratch_shapes = [pltpu.VMEM((E, 3, 8 * B, LO_WIDTH), jnp.bfloat16)]
     grid_spec = pl.GridSpec(
         grid=(NB, A),
+        scratch_shapes=scratch_shapes,
         in_specs=[
             pl.BlockSpec((1, E, L, 4), lambda n, a: (n, 0, 0, 0),
                          memory_space=pltpu.VMEM),

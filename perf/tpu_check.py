@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 
-def check(n_envs, n_agents, res, geom_kw, tag):
+def check(n_envs, n_agents, res, geom_kw, tag, presplit=True):
     from megastep_tpu import core, floorplans, scene
     from megastep_tpu.ops import fused, render
 
@@ -34,8 +34,11 @@ def check(n_envs, n_agents, res, geom_kw, tag):
                         c.agent_radius)
     screen = render.shade(scn, rc, scn.baked, method='onehot')
 
+    table = fused.pack_table8(scn)
+    if presplit:
+        table = fused.split_table8(table)
     out = fused.observe(
-        lines_now, fused.line_attrs(lines_now, scn), fused.split_table8(fused.pack_table8(scn)),
+        lines_now, fused.line_attrs(lines_now, scn), table,
         scn.lines_width, agents.angles, agents.positions, res,
         c.half_screen_width, c.agent_radius, want_seen=True)
 
@@ -72,7 +75,8 @@ def check(n_envs, n_agents, res, geom_kw, tag):
 
 if __name__ == '__main__':
     check(256, 1, 256, {}, 'explorer-shape')
-    check(64, 4, 512, {}, 'deathmatch-shape')
+    # presplit=False exercises the in-kernel split + cross-agent scratch path.
+    check(64, 4, 512, {}, 'deathmatch-shape', presplit=False)
     check(64, 1, 256, dict(width=30., height=30., max_depth=9, stop=.02),
           'cubicasa-scale')
     print('ALL OK (compiled Mosaic kernel matches the split pipeline on TPU)')
