@@ -193,7 +193,7 @@ def init_carry(env, agent, opt, key):
 
 def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
           width=256, lr=3e-4, steps=None, run_name=None, seed=0, resume=None,
-          profile=None, **hp):
+          profile=None, full_checkpoint=None, checkpoint_every=25, **hp):
     """The training entry point (reference ``train()``,
     ``demo/__init__.py:109-148``): Explorer + 256-wide LSTM agent + clipped
     Adam(amsgrad), stats and throttled checkpoints to the run directory. Runs
@@ -207,6 +207,12 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
     :param profile: chunk index at which to capture a ``jax.profiler`` trace
         into the run's ``profile`` directory (the TPU counterpart of the
         reference's nvprof ``-lineinfo`` hooks, SURVEY §5.1); None disables.
+    :param full_checkpoint: directory for orbax full-carry checkpoints
+        (params + optimizer + env + recurrent state,
+        :mod:`megastep_tpu.parallel.checkpoint`). If it already holds a
+        checkpoint, training resumes from it with full fidelity — beyond the
+        reference's weights-only store. Saved every ``checkpoint_every``
+        chunks.
     """
     from ..envs import Explorer
     from ..rebar import interrupting, paths, stats, storing, widgets
@@ -222,6 +228,13 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
         carry['params'] = jax.tree_util.tree_map(
             jnp.asarray, storing.load(resume)['agent'])
         log.info('resumed params from run %r', resume)
+    if full_checkpoint is not None:
+        from ..parallel import checkpoint
+        restored = checkpoint.restore(full_checkpoint, carry)
+        if restored is not None:
+            carry = restored
+            log.info('resumed full carry from %s (step %s)', full_checkpoint,
+                     checkpoint.latest_step(full_checkpoint))
     step = jax.jit(make_train_step(env, agent, opt, buffer_size, batch_size, **hp))
 
     run_name = run_name or f'{time.strftime("%Y-%m-%d %H%M%S")} {type(env).__name__}'
@@ -245,6 +258,9 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
             t1 = time.time()
             storing.store_latest(
                 run_name, dict(agent=jax.device_get(carry.params)), throttle=60)
+            if full_checkpoint is not None and (i + 1) % checkpoint_every == 0:
+                from ..parallel import checkpoint
+                checkpoint.save(full_checkpoint, i + 1, carry)
             with stats.defer():
                 stats.rate('sample-rate/actor', int(metrics.pop('samples')))
                 stats.mean('traj-reward/mean', metrics.pop('traj_reward'))
