@@ -228,13 +228,17 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
         carry['params'] = jax.tree_util.tree_map(
             jnp.asarray, storing.load(resume)['agent'])
         log.info('resumed params from run %r', resume)
+    ckpt_base = 0
     if full_checkpoint is not None:
         from ..parallel import checkpoint
         restored = checkpoint.restore(full_checkpoint, carry)
         if restored is not None:
             carry = restored
+            # Continue step numbering past the restored checkpoint — orbax
+            # silently skips saves at steps <= its latest otherwise.
+            ckpt_base = checkpoint.latest_step(full_checkpoint)
             log.info('resumed full carry from %s (step %s)', full_checkpoint,
-                     checkpoint.latest_step(full_checkpoint))
+                     ckpt_base)
     step = jax.jit(make_train_step(env, agent, opt, buffer_size, batch_size, **hp))
 
     run_name = run_name or f'{time.strftime("%Y-%m-%d %H%M%S")} {type(env).__name__}'
@@ -260,7 +264,7 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
                 run_name, dict(agent=jax.device_get(carry.params)), throttle=60)
             if full_checkpoint is not None and (i + 1) % checkpoint_every == 0:
                 from ..parallel import checkpoint
-                checkpoint.save(full_checkpoint, i + 1, carry)
+                checkpoint.save(full_checkpoint, ckpt_base + i + 1, carry)
             with stats.defer():
                 stats.rate('sample-rate/actor', int(metrics.pop('samples')))
                 stats.mean('traj-reward/mean', metrics.pop('traj_reward'))

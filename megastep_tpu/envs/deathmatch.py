@@ -138,10 +138,7 @@ class Deathmatch:
         opponents = jnp.where(mask, obj_idxs, -1)
         health, damage, matchings, hits = self._shoot(agents, health, damage,
                                                       opponents)
-        rgb = modules.downsample(out.screen, s).mean(-1)[:, :, :, None, :]
-        depth = 1 - jnp.clip((out.distances - c.agent_radius)
-                             / self._depth.max_depth, 0, 1)
-        d = modules.downsample(depth, s).mean(-1)[:, :, None, None, :]
+        rgb, d = modules.fused_obs(out, s, c.agent_radius, self._depth.max_depth)
         obs = arrdict(rgb=rgb, d=d, imu=self._imu(agents),
                       health=health[..., None])
         return obs, health, damage, matchings, hits

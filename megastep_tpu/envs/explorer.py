@@ -128,10 +128,7 @@ class Explorer:
             interpret=jax.default_backend() != 'tpu')
 
         s = self._rgb.subsample
-        rgb = modules.downsample(out.screen, s).mean(-1)[:, :, :, None, :]
-        depth = 1 - jnp.clip((out.distances - c.agent_radius)
-                             / self._depth.max_depth, 0, 1)
-        d = modules.downsample(depth, s).mean(-1)[:, :, None, None, :]
+        rgb, d = modules.fused_obs(out, s, c.agent_radius, self._depth.max_depth)
         obs = arrdict(rgb=rgb, d=d, imu=self._imu(agents))
 
         T = state_seen.shape[1]

@@ -97,6 +97,17 @@ def render(core, agents, **kwargs):
     return r
 
 
+def fused_obs(out, subsample, agent_radius, max_depth):
+    """Builds the (rgb, depth) observation pair from a fused-kernel observe
+    result (``ops.fused.observe``): pooled linear RGB (n, a, 3, 1, res/s) and
+    clipped depth (n, a, 1, 1, res/s) — one shared implementation for every
+    env using the fused path (the depth formula mirrors :class:`Depth`)."""
+    rgb = downsample(out.screen, subsample).mean(-1)[:, :, :, None, :]
+    depth = 1 - jnp.clip((out.distances - agent_radius) / max_depth, 0, 1)
+    d = downsample(depth, subsample).mean(-1)[:, :, None, None, :]
+    return rgb, d
+
+
 def downsample(screen, subsample):
     """Factors the final width dimension into (width/subsample, subsample); chase
     with a mean/min/max over the trailing axis (reference ``modules.py:138-145``)."""

@@ -112,19 +112,25 @@ def split_table8(table8):
 
 
 def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
-                    want_seen, presplit, n_agents,
-                    lines_ref, attrs_ref, table_ref, width_ref, pose_ref,
-                    idx_ref, dist_ref, r_ref, g_ref, b_ref, seen_ref,
-                    *scratch):
+                    want_seen, presplit,
+                    lines_ref, attrs_ref, table_ref, pose_ref,
+                    idx_ref, dist_ref, r_ref, g_ref, b_ref, *rest):
     """One program = ``env_block`` envs × one agent × all ``res`` rays.
 
     Blocks: lines (1, E, L, 4) VMEM · attrs (1, E, 4, L) VMEM · table — either
     (1, E, 3, B*8, 128) bf16 (pre-split, :func:`split_table8`; the right form
     for static tables) or (1, E, B*8, 128) f32 (split in-kernel; cheaper when
-    the table is rebuilt every frame, e.g. the dynamic re-bake) · width
-    (1, 1, E) SMEM i32 · pose (1, E, A, 3) SMEM → outputs idx/dist/r/g/b
-    (1, 1, E, R) + seen counts (1, 1, E, B, 128).
+    the table is rebuilt every frame, e.g. the dynamic re-bake) ·
+    pose (1, E, A, 3) SMEM → outputs idx/dist/r/g/b (1, 1, E, R)
+    [+ seen counts (1, 1, E, B, 128) when ``want_seen``].
+
+    Invariant relied on instead of a width mask: padded/dead line slots are
+    all-zero segments (the scene compiler zero-fills), which the parallel test
+    rejects identically to the jnp reference's width mask.
     """
+    rest = list(rest)
+    seen_ref = rest.pop(0) if want_seen else None
+    scratch = rest
     L = lines_ref.shape[2]
     R = res
     B = n_blocks
@@ -151,7 +157,9 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)            # (W, 1)
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)            # (B, 1)
     # Screen coordinate of each ray (kernels.cu:234-236), as a lane row.
-    uy = half_screen_width * (res - 2 * iota_r.astype(jnp.float32) - 1) / res
+    # Parenthesized to match render.ray_y's order ((num/res) then * hsw) so
+    # parity holds bit-for-bit at any res, not just powers of two.
+    uy = half_screen_width * ((res - 2 * iota_r.astype(jnp.float32) - 1) / res)
 
     for e in range(env_block):
         lines = lines_ref[0, e]                                        # (L, 4)
@@ -298,6 +306,10 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
 
     :param lines_now: (N, L, 2, 2) this frame's lines (after :func:`render.draw`).
     :param attrs: (N, 4, L) from :func:`line_attrs`.
+    :param lines_width: (N,) true line counts. Unused by the kernel — padded
+        line slots are all-zero segments, which the raycast's parallel test
+        rejects identically to an explicit width mask — but kept in the
+        signature to document the invariant at call sites.
     :param table8: the shade table — (N, 3, B*8, 128) bf16 from
         :func:`split_table8` (pre-split; right for static tables) or
         (N, B*8, 128) f32 straight from :func:`pack_table8` (split in-kernel;
@@ -317,18 +329,18 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
     attrs = attrs.reshape(NB, E, 4, L)
     table8 = (table8.reshape(NB, E, 3, 8 * B, LO_WIDTH) if presplit
               else table8.reshape(NB, E, 8 * B, LO_WIDTH))
-    width3d = lines_width.reshape(NB, 1, E).astype(jnp.int32)
     pose = jnp.concatenate([angles[..., None], positions], -1).reshape(NB, E, A, 3)
 
     kernel = partial(_observe_kernel, res, E, B, float(half_screen_width),
-                     float(agent_radius), want_seen, presplit, A)
+                     float(agent_radius), want_seen, presplit)
     out_shape = [
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.int32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
-        jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
-        jax.ShapeDtypeStruct((NB, A, E, B, LO_WIDTH), jnp.float32)]
+        jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32)]
+    if want_seen:
+        out_shape += [jax.ShapeDtypeStruct((NB, A, E, B, LO_WIDTH), jnp.float32)]
 
     scratch_shapes = []
     if not presplit and A > 1:
@@ -346,18 +358,16 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
                           memory_space=pltpu.VMEM) if presplit else
              pl.BlockSpec((1, E, 8 * B, LO_WIDTH), lambda n, a: (n, 0, 0, 0),
                           memory_space=pltpu.VMEM)),
-            pl.BlockSpec((1, 1, E), lambda n, a: (n, 0, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, E, A, 3), lambda n, a: (n, 0, 0, 0),
                          memory_space=pltpu.SMEM)],
         out_specs=[
             pl.BlockSpec((1, 1, E, res), lambda n, a: (n, a, 0, 0),
                          memory_space=pltpu.VMEM)
-            for _ in range(5)] + [
+            for _ in range(5)] + ([
             pl.BlockSpec((1, 1, E, B, LO_WIDTH), lambda n, a: (n, a, 0, 0, 0),
-                         memory_space=pltpu.VMEM)])
+                         memory_space=pltpu.VMEM)] if want_seen else []))
 
-    idx, dist, r, g, b, counts = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -365,7 +375,8 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=('parallel', 'arbitrary')),
         interpret=interpret,
-    )(flat, attrs, table8, width3d, pose)
+    )(flat, attrs, table8, pose)
+    idx, dist, r, g, b = outs[:5]
 
     def to_nar(x):
         # (NB, A, E, R) -> (N, A, R); for A == 1 this is a pure reshape.
@@ -378,5 +389,5 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
     if want_seen:
         # (NB, A, E, B, W): sum per-agent counts; (B, W) flattens to the texel
         # axis row-major for free.
-        out['seen_counts'] = counts.sum(1).reshape(N, B * LO_WIDTH)
+        out['seen_counts'] = outs[5].sum(1).reshape(N, B * LO_WIDTH)
     return out

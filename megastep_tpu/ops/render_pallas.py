@@ -101,7 +101,7 @@ def _raycast_kernel(res, ray_tile, env_block, half_screen_width, agent_radius,
 
     r_iota = (r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)).astype(jnp.float32)
     # Screen coordinate of each ray (kernels.cu:234-236), as a column vector.
-    uy = half_screen_width * (res - 2 * r_iota - 1) / res    # (R, 1)
+    uy = half_screen_width * ((res - 2 * r_iota - 1) / res)  # (R, 1)
 
     ang = pose_ref[0, 0, a, 0] * (jnp.pi / 180)
     co, si = jnp.cos(ang), jnp.sin(ang)
@@ -256,7 +256,7 @@ def _raycast_kernel_multienv(res, ray_tile, env_block, half_screen_width,
 
     line_idx = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     r_iota = (r0 + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)).astype(jnp.float32)
-    uy = half_screen_width * (res - 2 * r_iota - 1) / res    # (R, 1)
+    uy = half_screen_width * ((res - 2 * r_iota - 1) / res)  # (R, 1)
     hi = jax.lax.Precision.HIGHEST
 
     def outer(col, row):

@@ -130,7 +130,12 @@ class Stream:
     # ----------------------------------------------------------------------
     def update(self, rule='60s'):
         """One poll: resample, rebuild if the column set changed, then push
-        the new rows. Returns the number of resampled rows currently shown."""
+        the new rows. Returns the number of resampled rows currently shown.
+
+        The bokeh backend streams append-only, so the still-open last bucket
+        is held back until it's final — pushing it early would freeze each
+        point at its first partial aggregate. matplotlib re-sets the full
+        series each poll and shows the live partial bucket."""
         df = self._reader.resample(rule)
         if df.empty:
             return 0
@@ -141,10 +146,12 @@ class Stream:
             (self._bokeh_build if self._backend == 'bokeh'
              else self._mpl_build)(df)
         if self._backend == 'bokeh':
-            self._bokeh_push(df, self._drawn)
+            closed = df.iloc[:-1]
+            self._bokeh_push(closed, self._drawn)
+            self._drawn = len(closed)
         else:
             self._mpl_push(df)
-        self._drawn = len(df)
+            self._drawn = len(df)
         return self._drawn
 
     def watch(self, rule='60s', interval=1., updates=None):

@@ -73,14 +73,13 @@ class Category:
         return self._reduce(df, **kwargs)
 
 
-def _bucket_seconds(resampled):
-    """Seconds per resample bucket, capped by the data's actual span (so a
-    short run isn't averaged over a full, mostly-empty bucket)."""
+def _bucket_seconds(raw_index, resampled):
+    """Seconds per resample bucket, capped by the RAW samples' actual span —
+    a run shorter than one bucket must be rated over the time it really
+    covered, not a full, mostly-empty bucket."""
     freq_s = pd.to_timedelta(resampled.index.freq).total_seconds()
-    if len(resampled.index) > 1:
-        span = (resampled.index[-1] - resampled.index[0]).total_seconds()
-        freq_s = min(freq_s, span or freq_s)
-    return freq_s
+    span = (raw_index[-1] - raw_index[0]).total_seconds()
+    return min(freq_s, span or freq_s)
 
 
 def _last(df, **kw):
@@ -118,12 +117,12 @@ def _duty(df, **kw):
 
 def _rate(df, **kw):
     counts = df['count'].resample(**kw).sum()
-    return counts / _bucket_seconds(counts)
+    return counts / _bucket_seconds(df.index, counts)
 
 
 def _period(df, **kw):
     counts = df['count'].resample(**kw).sum()
-    return _bucket_seconds(counts) / counts
+    return _bucket_seconds(df.index, counts) / counts
 
 
 def _maxrate(df, **kw):

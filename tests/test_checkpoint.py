@@ -43,6 +43,9 @@ def test_train_full_checkpoint_resume(tmp_path, monkeypatch):
                       buffer_size=4, batch_size=16, full_checkpoint=ckpt,
                       checkpoint_every=2)
 
+    from megastep_tpu.parallel import checkpoint as ck
+    assert ck.latest_step(ckpt) == 2
+
     env2 = fsm.MatchCoin(8)
     carry2 = dt.train(env=env2, width=8, steps=0, run_name='ck-run-2',
                       buffer_size=4, batch_size=16, full_checkpoint=ckpt)
@@ -53,3 +56,10 @@ def test_train_full_checkpoint_resume(tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(p1))
     np.testing.assert_array_equal(np.asarray(carry1.env_state.token),
                                   np.asarray(carry2.env_state.token))
+
+    # A resumed run continues step numbering, so new checkpoints are written
+    # (orbax silently drops saves at steps <= latest otherwise).
+    dt.train(env=fsm.MatchCoin(8), width=8, steps=2, run_name='ck-run-3',
+             buffer_size=4, batch_size=16, full_checkpoint=ckpt,
+             checkpoint_every=2)
+    assert ck.latest_step(ckpt) == 4

@@ -223,3 +223,15 @@ def test_plots_stream_incremental():
         stream.update(rule='1s')
         assert stream._fig is not fig0  # new column: rebuilt
         assert 'reward/mean' in stream._lines
+
+
+def test_rate_caps_by_raw_span():
+    """A run shorter than one resample bucket is rated over its real span,
+    not the full bucket (``rebar/stats/categories.py``)."""
+    import pandas as pd
+    from megastep_tpu.rebar.stats import categories
+
+    idx = pd.to_datetime(['2026-01-01 00:00:00', '2026-01-01 00:00:03'])
+    rate = categories.CATEGORIES['rate'].reduce(
+        pd.DataFrame({'count': [100, 300]}, index=idx), rule='60s')
+    np.testing.assert_allclose(rate.values, [400 / 3])
