@@ -77,6 +77,9 @@ if __name__ == '__main__':
     check(256, 1, 256, {}, 'explorer-shape')
     # presplit=False exercises the in-kernel split + cross-agent scratch path.
     check(64, 4, 512, {}, 'deathmatch-shape', presplit=False)
+    # Non-power-of-two, non-128-multiple res: lane padding + the ray-coordinate
+    # op-order parity fix.
+    check(128, 1, 192, {}, 'odd-res')
     check(64, 1, 256, dict(width=30., height=30., max_depth=9, stop=.02),
           'cubicasa-scale')
     print('ALL OK (compiled Mosaic kernel matches the split pipeline on TPU)')

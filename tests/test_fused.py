@@ -159,3 +159,29 @@ def test_deathmatch_fused_matches_split():
                                np.asarray(worlds[1].obs.rgb), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(worlds[0].obs.d),
                                np.asarray(worlds[1].obs.d), rtol=1e-5, atol=1e-6)
+
+
+def test_deathmatch_fused_other_agent_counts():
+    """The fused path generalizes beyond the default 4 agents/scene (A rides
+    the kernel grid; expand/collapse is a reshape)."""
+    from megastep_tpu.envs import Deathmatch
+    from megastep_tpu.arrdict import arrdict
+
+    geoms = floorplans.sample(2)
+    key = jax.random.PRNGKey(2)
+    for A in (2, 8):
+        np.random.seed(5)
+        envs = []
+        for f in (False, True):
+            np.random.seed(5)
+            envs.append(Deathmatch(2 * A, n_agents=A, geometries=geoms,
+                                   res=64, subsample=4, fused=f))
+        states, worlds = zip(*[e.reset(key) for e in envs])
+        actions = jax.random.randint(key, (2 * A, 1), 0, 7)
+        outs = [e.step(s, arrdict(actions=actions), key)
+                for e, s in zip(envs, states)]
+        np.testing.assert_allclose(np.asarray(outs[0][1].obs.rgb),
+                                   np.asarray(outs[1][1].obs.rgb),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(outs[0][0].matchings),
+                                      np.asarray(outs[1][0].matchings))
