@@ -291,7 +291,7 @@ def default_env_block(n_envs, n_lines=64, res=256, n_blocks=16):
     cubicasa-scale scenes L≈224 drop to E=16)."""
     per_env = 14 * n_lines * res * 4 + 3 * n_blocks * 8 * LO_WIDTH * 4 \
         + 2 * (LO_WIDTH + n_blocks) * res * 4
-    for e in (32, 16, 8, 4, 2, 1):
+    for e in (64, 32, 16, 8, 4, 2, 1):
         if n_envs % e == 0 and e * per_env <= _VMEM_BUDGET:
             return e
     return 1
