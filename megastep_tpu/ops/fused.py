@@ -35,9 +35,10 @@ Layout choices (each measured; see PERF.md):
   * seen-texel counts contract the ray axis on the MXU —
     (B, R) · (128, R)ᵀ — and are written as a per-env (B, 128) tile block,
     reshaped to (T,) outside (row-major, so the reshape is free in XLA).
-  * ``E`` envs are unrolled per program so per-program overhead amortizes
-    (measured: E=8 is 1.6× faster than E=1; E=32 no better); every output
-    write uses a static env index (dynamic sublane stores don't lower).
+  * ``E`` envs are unrolled per program so per-program overhead amortizes —
+    measured at 16k envs E=64 > E=32 > E=8 ≫ E=1 (:func:`default_env_block`
+    picks the largest that fits the scoped-VMEM estimate); every output write
+    uses a static env index (dynamic sublane stores don't lower).
 
 Bit-exactness: the raycast math is the same arithmetic as
 :func:`megastep_tpu.ops.render.raycast` and the shade math matches
