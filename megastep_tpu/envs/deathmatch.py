@@ -112,7 +112,15 @@ class Deathmatch:
 
     @property
     def _use_fused(self):
-        return jax.default_backend() == 'tpu' if self.fused is None else self.fused
+        return modules.use_fused(self.fused)
+
+    def _opponents(self, line_idxs):
+        """Opponent agent ids from (N, A, 1, res/s) mid-column line indices
+        (-1 where the pixel shows no agent model) - shared by both observe
+        paths (reference ``deathmatch.py:74-86``)."""
+        obj_idxs = line_idxs // self.core.scenery.n_model_lines
+        mask = (0 <= line_idxs) & (obj_idxs < self.core.n_agents)
+        return jnp.where(mask, obj_idxs, -1)
 
     def _observe_fused(self, agents, health, damage):
         """One-kernel observe (:mod:`megastep_tpu.ops.fused`) with per-frame
@@ -129,13 +137,11 @@ class Deathmatch:
             lines_now, fused_ops.line_attrs(lines_now, scn), table8,
             scn.lines_width, agents.angles, agents.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=False,
-            interpret=jax.default_backend() != 'tpu')
+            interpret=not modules.on_tpu())
 
         s = self._rgb.subsample
         line_idxs = modules.downsample(out.indices, s)[..., s // 2][:, :, None]
-        obj_idxs = line_idxs // scn.n_model_lines
-        mask = (0 <= line_idxs) & (obj_idxs < c.n_agents)
-        opponents = jnp.where(mask, obj_idxs, -1)
+        opponents = self._opponents(line_idxs)
         health, damage, matchings, hits = self._shoot(agents, health, damage,
                                                       opponents)
         rgb, d = modules.fused_obs(out, s, c.agent_radius, self._depth.max_depth)
@@ -147,10 +153,9 @@ class Deathmatch:
         if self._use_fused:
             return self._observe_fused(agents, health, damage)
         r = modules.render(self.core, agents)
-        line_idxs = modules.downsample(r.indices, self._rgb.subsample)[..., self._rgb.subsample // 2]
-        obj_idxs = line_idxs // self.core.scenery.n_model_lines
-        mask = (0 <= line_idxs) & (obj_idxs < self.core.n_agents)
-        opponents = jnp.where(mask, obj_idxs, -1)
+        line_idxs = modules.downsample(
+            r.indices, self._rgb.subsample)[..., self._rgb.subsample // 2]
+        opponents = self._opponents(line_idxs)
         health, damage, matchings, hits = self._shoot(agents, health, damage, opponents)
         obs = arrdict(
             rgb=self._rgb(r),

@@ -45,12 +45,16 @@ class Explorer:
         self._depth = modules.Depth(self.core, n_agents=1, subsample=subsample)
         self._mover = modules.MomentumMovement(self.core)
         self._imu = modules.IMU(self.core)
-        self._respawner = modules.RandomSpawns(geometries, self.core)
+        self._respawner = modules.RandomSpawns(geometries, self.core, random=random)
         self.fused = fused
         # The shade table is static for a single-agent env (no dynamic re-bake);
-        # pre-packed once for the fused kernel.
-        from ..ops import fused as fused_ops
-        self._table8 = fused_ops.split_table8(fused_ops.pack_table8(scenery))
+        # pre-packed + pre-split once for the fused kernel — only when that
+        # path can actually run (scenery is immutable, so it cannot go stale).
+        if self._use_fused:
+            from ..ops import fused as fused_ops
+            self._table8 = fused_ops.split_table8(fused_ops.pack_table8(scenery))
+        else:
+            self._table8 = None
 
         self.action_space = self._mover.space
         self.obs_space = dotdict(
@@ -60,7 +64,7 @@ class Explorer:
 
     @property
     def _use_fused(self):
-        return jax.default_backend() == 'tpu' if self.fused is None else self.fused
+        return modules.use_fused(self.fused)
 
     @property
     def n_envs(self):
@@ -125,7 +129,7 @@ class Explorer:
             lines_now, fused_ops.line_attrs(lines_now, scn), self._table8,
             scn.lines_width, agents.angles, agents.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=True,
-            interpret=jax.default_backend() != 'tpu')
+            interpret=not modules.on_tpu())
 
         s = self._rgb.subsample
         rgb, d = modules.fused_obs(out, s, c.agent_radius, self._depth.max_depth)

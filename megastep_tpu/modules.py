@@ -97,6 +97,16 @@ def render(core, agents, **kwargs):
     return r
 
 
+def on_tpu():
+    return jax.default_backend() == 'tpu'
+
+
+def use_fused(flag):
+    """The fused-observe dispatch policy shared by the envs: an explicit flag
+    wins; ``None`` means "when running on TPU"."""
+    return on_tpu() if flag is None else flag
+
+
 def fused_obs(out, subsample, agent_radius, max_depth):
     """Builds the (rgb, depth) observation pair from a fused-kernel observe
     result (``ops.fused.observe``): pooled linear RGB (n, a, 3, 1, res/s) and

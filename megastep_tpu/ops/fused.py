@@ -61,10 +61,6 @@ HI = jax.lax.Precision.HIGHEST
 LO_WIDTH = 128  # texel-index lo radix == lane width
 
 
-def _cdiv(a, b):
-    return -(-a // b)
-
-
 def pack_table8(scenery, baked=None):
     """The shade lookup table, blocked for the kernel's hierarchical lookup:
     ``out[n, b*8 + c, w]`` is channel ``c`` of texel ``t = b*128 + w``, where
@@ -79,7 +75,7 @@ def pack_table8(scenery, baked=None):
     table = jnp.concatenate([scenery.textures, baked[..., None]], -1)  # (N,T,4)
     both = jnp.concatenate([table, jnp.roll(table, -1, axis=1)], -1)   # (N,T,8)
     N, T, _ = both.shape
-    B = _cdiv(T, LO_WIDTH)
+    B = pl.cdiv(T, LO_WIDTH)
     both = jnp.pad(both, ((0, 0), (0, B * LO_WIDTH - T), (0, 0)))
     return both.reshape(N, B, LO_WIDTH, 8).transpose(0, 1, 3, 2).reshape(
         N, B * 8, LO_WIDTH)
@@ -189,9 +185,12 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         t_num = pqx * ruy - pqy * rux
 
         distant = jnp.abs(uxv) < PARALLEL_EPS
-        rinv = 1. / jnp.where(distant, 1., uxv)
-        sq = jnp.where(distant, jnp.inf, s_num * rinv)                 # (L, R)
-        tq = jnp.where(distant, jnp.inf, t_num * rinv)
+        safe = jnp.where(distant, 1., uxv)
+        # True divisions, same arithmetic as render.raycast (s_num/safe): a
+        # reciprocal-multiply differs by ~1 ulp, which can flip the winner at
+        # tolerance boundaries and break the documented exact-indices contract.
+        sq = jnp.where(distant, jnp.inf, s_num / safe)                 # (L, R)
+        tq = jnp.where(distant, jnp.inf, t_num / safe)
 
         valid = (0 <= tq) & (tq <= 1) & (near < sq)
         s_masked = jnp.where(valid, sq, jnp.inf)
