@@ -7,7 +7,8 @@ jitted :func:`train_step`:
   * **rollout**: a ``lax.scan`` over ``buffer_size`` env steps, each fusing the agent
     forward, sampling, physics, render, and reward into one device program;
   * **learn**: a ``lax.scan`` over minibatches applying PPO-clip/V-trace updates,
-    with the reference's KL>0.02 early stop expressed as a masked (no-op) update.
+    with the reference's KL>0.02 early stop as a ``lax.cond`` that skips the
+    remaining minibatches' forward+backward once tripped.
 
 Observations, parameters, and optimizer state never leave the device; the only
 host↔device traffic is the scalar metrics dict once per step and throttled
@@ -125,6 +126,12 @@ def optimize(apply, opt, params, opt_state, batch, state0, **hp):
     return params, opt_state, aux
 
 
+#: Scalar keys :func:`optimize` reports — the KL-early-stop skip branch mirrors
+#: this structure so both ``lax.cond`` branches return identical pytrees.
+AUX_KEYS = ('v_loss', 'p_loss', 'h_loss', 'kl_div', 'v_target_mean',
+            'adv_std', 'loss')
+
+
 def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
                     kl_limit=.02, **hp):
     """Builds the jitted one-chunk training step: rollout → minibatched PPO with
@@ -152,15 +159,22 @@ def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
 
         def minibatch(mcarry, idxs):
             params, opt_state, dead = mcarry
-            batch = _take_envs(chunk, idxs, 1)
-            s0 = _take_envs(state0, idxs, 0)  # recurrent state is batch-first
-            new_params, new_opt_state, aux = optimize(
-                apply, opt, params, opt_state, batch, s0, **hp)
-            # KL early stop: once exceeded, later minibatches become no-ops.
-            keep = lambda new, old: jax.tree_util.tree_map(
-                lambda n, o: jnp.where(dead, o, n), new, old)
-            params = keep(new_params, params)
-            opt_state = keep(new_opt_state, opt_state)
+
+            def live(params, opt_state):
+                batch = _take_envs(chunk, idxs, 1)
+                s0 = _take_envs(state0, idxs, 0)  # recurrent state is batch-first
+                return optimize(apply, opt, params, opt_state, batch, s0, **hp)
+
+            def skip(params, opt_state):
+                # Reported zeros dilute the per-chunk aux means once the stop
+                # trips; the 'skipped' fraction below says by how much.
+                return params, opt_state, {k: jnp.zeros(()) for k in AUX_KEYS}
+
+            # KL early stop: once exceeded, later minibatches skip their
+            # forward+backward entirely (reference breaks its Python loop,
+            # demo/__init__.py:138-141).
+            params, opt_state, aux = jax.lax.cond(dead, skip, live,
+                                                  params, opt_state)
             dead = dead | (aux['kl_div'] > kl_limit)
             aux['skipped'] = dead.astype(jnp.float32)
             return (params, opt_state, dead), aux

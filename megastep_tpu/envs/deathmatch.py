@@ -75,6 +75,9 @@ class Deathmatch:
             [np.array(g.masks.shape) * g.res for g in geometries]))
 
         self.n_envs = self.core.n_envs * self.core.n_agents
+        # Static bound on the per-env light count: lets the per-step re-bake
+        # slice dead padded light slots off its (N, P, K) streams.
+        self._k_lights = int(np.asarray(scenery.lights_width).max())
 
     def _respawn(self, agents, health, damage, reset, key):
         agents = self._spawner(agents, reset, key)
@@ -130,7 +133,7 @@ class Deathmatch:
         scn = self.core.scenery
         c = self.core
         lines_now = render_ops.draw(scn, agents)
-        dyn = bake.dynamic_texel_intensity(scn, lines_now)
+        dyn = bake.dynamic_texel_intensity(scn, lines_now, k_max=self._k_lights)
         baked_now = scn.baked.at[:, :scn.n_dynamic_texels].set(dyn)
         table8 = fused_ops.pack_table8(scn, baked_now)
         out = fused_ops.observe(

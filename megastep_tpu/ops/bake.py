@@ -82,6 +82,10 @@ def intensity_at(points, lines, lines_width, n_dynamic, lights, lights_width,
     light_live = light_idx < lights_width[:, None, None]                  # (N, 1, K)
 
     # Occlusion: scan static lines in chunks, accumulating "any obstruction".
+    # Clamp the chunk to the (8-aligned) line count: the per-step dynamic
+    # re-bake passes only the ~32 static lines, and padding those to a 64-wide
+    # chunk doubles the (N, P, K, chunk) occlusion stream for nothing.
+    chunk = min(chunk, max(8, -(-L // 8) * 8))
     n_chunks = -(-L // chunk)
     Lpad = n_chunks * chunk
     lines_p = jnp.pad(lines, ((0, 0), (0, Lpad - L), (0, 0), (0, 0)))
@@ -143,14 +147,20 @@ def bake(scenery, env_chunk=512, tex_chunk=512):
     return scenery.replace(baked=jnp.asarray(baked))
 
 
-def dynamic_texel_intensity(scenery, lines_now):
+def dynamic_texel_intensity(scenery, lines_now, k_max=None):
     """Live illumination of the dynamic (agent-model) texels, given the current
-    drawn line array. Returns (N, n_dynamic_texels)."""
+    drawn line array. Returns (N, n_dynamic_texels).
+
+    :param k_max: static bound on the per-env light count (e.g. the true max
+        computed at env build); slices dead padded light slots off the
+        (N, P, K) streams. ``None`` keeps the full padded axis.
+    """
     T = scenery.n_dynamic_texels
     C = texel_points(lines_now, scenery.tex_line, scenery.line_tex_starts,
                      scenery.line_tex_widths, 0, T)
     # Only static lines occlude — slice them off the front instead of masking
     # (halves the (N, P, K, L) occlusion stream).
     nd = scenery.n_dynamic
+    lights = scenery.lights if k_max is None else scenery.lights[:, :k_max]
     return intensity_at(C, lines_now[:, nd:], scenery.lines_width - nd, 0,
-                        scenery.lights, scenery.lights_width)
+                        lights, scenery.lights_width)
