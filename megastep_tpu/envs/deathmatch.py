@@ -36,7 +36,8 @@ def collapse(x, n_agents):
     return _collapse(x)
 
 
-@pytree('core', '_rgb', '_depth', '_imu', '_movement', '_spawner', '_bounds')
+@pytree('core', '_rgb', '_depth', '_imu', '_movement', '_spawner', '_bounds',
+        '_table8')
 class Deathmatch:
     """Multi-agent combat (see module docstring).
 
@@ -78,6 +79,15 @@ class Deathmatch:
         # Static bound on the per-env light count: lets the per-step re-bake
         # slice dead padded light slots off its (N, P, K) streams.
         self._k_lights = int(np.asarray(scenery.lights_width).max())
+        # Pre-split static shade table for the fused kernel: the per-frame
+        # dynamic re-bake only changes a few rows (the agent-model texels'
+        # baked channel), which the kernel patches in VMEM
+        # (ops.fused.pack_table8_patch) instead of rebuilding the table.
+        if self._use_fused:
+            from ..ops import fused as fused_ops
+            self._table8 = fused_ops.split_table8(fused_ops.pack_table8(scenery))
+        else:
+            self._table8 = None
 
     def _respawn(self, agents, health, damage, reset, key):
         agents = self._spawner(agents, reset, key)
@@ -134,12 +144,20 @@ class Deathmatch:
         c = self.core
         lines_now = render_ops.draw(scn, agents)
         dyn = bake.dynamic_texel_intensity(scn, lines_now, k_max=self._k_lights)
-        baked_now = scn.baked.at[:, :scn.n_dynamic_texels].set(dyn)
-        table8 = fused_ops.pack_table8(scn, baked_now)
+        if self._table8 is not None:
+            table8, patch = self._table8, fused_ops.pack_table8_patch(scn, dyn)
+            rows = fused_ops.dynamic_rows(scn.n_dynamic_texels,
+                                          scn.baked.shape[1])
+        else:
+            # Fallback (env built with fused off, stepped with it on): full
+            # per-frame table rebuild, split in-kernel.
+            baked_now = scn.baked.at[:, :scn.n_dynamic_texels].set(dyn)
+            table8, patch, rows = fused_ops.pack_table8(scn, baked_now), None, ()
         out = fused_ops.observe(
             lines_now, fused_ops.line_attrs(lines_now, scn), table8,
             scn.lines_width, agents.angles, agents.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=False,
+            table_patch=patch, patch_rows=rows,
             interpret=not modules.on_tpu())
 
         s = self._rgb.subsample

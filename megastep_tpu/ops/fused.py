@@ -108,10 +108,50 @@ def split_table8(table8):
     return jnp.stack(_split3(table8), 1)
 
 
+def dynamic_rows(t_dyn, t_pad):
+    """Row indices of :func:`pack_table8`'s output that depend on the dynamic
+    texels' baked intensity: the ch3 (baked of t) and ch7 (baked of t+1) rows
+    of every block covering texels [0, t_dyn), plus the final block's ch7 row
+    (:func:`pack_table8`'s roll wraps texel 0's baked into index t_pad-1).
+    Everything else in the table — all color channels, static texels' baked —
+    is frame-invariant."""
+    B = pl.cdiv(t_pad, LO_WIDTH)
+    rows = []
+    for b in range(pl.cdiv(t_dyn, LO_WIDTH)):
+        rows += [b * 8 + 3, b * 8 + 7]
+    wrap = (B - 1) * 8 + 7
+    return tuple(rows if wrap in rows else rows + [wrap])
+
+
+def pack_table8_patch(scenery, baked_dyn):
+    """Per-frame replacement rows for a *static pre-split* shade table, for
+    envs where only the dynamic (agent-model) texels' lighting changes each
+    frame (the Deathmatch re-bake). Instead of rebuilding and re-splitting the
+    whole (N, B*8, 128) table per step, the kernel patches these few rows into
+    its VMEM-resident copy (see ``table_patch`` in :func:`observe`).
+
+    :return: (N, 3, P, 128) bf16 — the :func:`_split3` components of the
+        ``P = len(dynamic_rows(...))`` rows, bit-identical to the same rows of
+        ``split_table8(pack_table8(scenery, baked_patched))``.
+    """
+    baked = scenery.baked
+    N, t_pad = baked.shape
+    t_dyn = baked_dyn.shape[1]
+    W = LO_WIDTH
+    B = pl.cdiv(t_pad, W)
+    pad = ((0, 0), (0, B * W - t_pad))
+    full = baked.at[:, :t_dyn].set(baked_dyn)
+    rolled = jnp.concatenate([full[:, 1:], full[:, :1]], 1)
+    chans = {3: jnp.pad(full, pad), 7: jnp.pad(rolled, pad)}
+    content = jnp.stack(
+        [chans[r % 8][:, (r // 8) * W:(r // 8 + 1) * W]
+         for r in dynamic_rows(t_dyn, t_pad)], 1)         # (N, P, W) f32
+    return jnp.stack(_split3(content), 1)                 # (N, 3, P, W) bf16
+
+
 def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
-                    want_seen, presplit,
-                    lines_ref, attrs_ref, table_ref, pose_ref,
-                    idx_ref, dist_ref, r_ref, g_ref, b_ref, *rest):
+                    want_seen, presplit, patch_rows,
+                    lines_ref, attrs_ref, table_ref, pose_ref, *rest):
     """One program = ``env_block`` envs × one agent × all ``res`` rays.
 
     Blocks: lines (1, E, L, 4) VMEM · attrs (1, E, 4, L) VMEM · table — either
@@ -126,6 +166,9 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
     rejects identically to the jnp reference's width mask.
     """
     rest = list(rest)
+    patch_ref = rest.pop(0) if patch_rows else None
+    idx_ref, dist_ref, r_ref, g_ref, b_ref = rest[:5]
+    rest = rest[5:]
     seen_ref = rest.pop(0) if want_seen else None
     scratch = rest
     L = lines_ref.shape[2]
@@ -135,19 +178,35 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
     a = pl.program_id(1)
 
     if scratch:
-        # Multi-agent + unsplit table: the 3-way bf16 split is per-env work
-        # shared by all agents. The grid's agent axis is sequential, so the
-        # first agent's program splits into a persistent VMEM scratch and the
-        # rest reuse it.
+        # Per-env table work shared by all agents: the grid's agent axis is
+        # sequential, so the first agent's program prepares the (E, 3, B*8, W)
+        # bf16 table in a persistent VMEM scratch and the rest reuse it.
         split_ref = scratch[0]
 
         @pl.when(a == 0)
         def _():
-            for e in range(env_block):
-                t1, t2, t3 = _split3(table_ref[0, e])
-                split_ref[e, 0] = t1
-                split_ref[e, 1] = t2
-                split_ref[e, 2] = t3
+            if patch_rows:
+                # Pre-split static table + per-frame dynamic rows: overwrite
+                # the few rows that track the agent-model re-bake
+                # (:func:`pack_table8_patch`) in the VMEM copy — no per-frame
+                # HBM table rebuild.
+                rowid = jax.lax.broadcasted_iota(
+                    jnp.int32, (8 * n_blocks, 1), 0)
+                for e in range(env_block):
+                    for i in range(3):
+                        t = table_ref[0, e, i]
+                        for j, row in enumerate(patch_rows):
+                            t = jnp.where(rowid == row,
+                                          patch_ref[0, e, i, j:j + 1], t)
+                        split_ref[e, i] = t
+            else:
+                # Multi-agent + unsplit table: the 3-way bf16 split is cheaper
+                # done once per env than per (env, agent) program.
+                for e in range(env_block):
+                    t1, t2, t3 = _split3(table_ref[0, e])
+                    split_ref[e, 0] = t1
+                    split_ref[e, 1] = t2
+                    split_ref[e, 2] = t3
 
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)            # (L, 1)
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)            # (1, R)
@@ -234,10 +293,10 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         onehot_lo = (iota_w == tap_lo).astype(jnp.bfloat16)            # (W, R)
         onehot_hi = (iota_b == tap_hi).astype(jnp.float32)             # (B, R)
 
-        if presplit:
-            splits = (table_ref[0, e, 0], table_ref[0, e, 1], table_ref[0, e, 2])
-        elif scratch:
+        if scratch:
             splits = (split_ref[e, 0], split_ref[e, 1], split_ref[e, 2])
+        elif presplit:
+            splits = (table_ref[0, e, 0], table_ref[0, e, 1], table_ref[0, e, 2])
         else:
             splits = _split3(table_ref[0, e])
         inner = sum(
@@ -298,10 +357,11 @@ def default_env_block(n_envs, n_lines=64, res=256, n_blocks=16):
 
 
 @partial(jax.jit, static_argnames=('res', 'half_screen_width', 'agent_radius',
-                                   'want_seen', 'env_block', 'interpret'))
+                                   'want_seen', 'env_block', 'patch_rows',
+                                   'interpret'))
 def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
             half_screen_width, agent_radius, want_seen=True, env_block=None,
-            interpret=False):
+            table_patch=None, patch_rows=(), interpret=False):
     """Fused raycast + shade (+ seen counts) over the whole env batch.
 
     :param lines_now: (N, L, 2, 2) this frame's lines (after :func:`render.draw`).
@@ -314,6 +374,13 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         :func:`split_table8` (pre-split; right for static tables) or
         (N, B*8, 128) f32 straight from :func:`pack_table8` (split in-kernel;
         right for per-frame tables, where an XLA-side split costs more).
+    :param table_patch: (N, 3, P, 128) bf16 from :func:`pack_table8_patch` —
+        per-frame replacement rows patched into the (pre-split) static table
+        inside the kernel, so a dynamic re-bake costs a P-row stream instead
+        of a full table rebuild. Requires a pre-split ``table8`` and
+        ``patch_rows``.
+    :param patch_rows: static row indices for ``table_patch``
+        (:func:`dynamic_rows`).
     :return: arrdict with ``indices`` (N, A, R) i32, ``distances`` (N, A, R),
         ``screen`` (N, A, 3, R), and (if ``want_seen``) ``seen_counts``
         (N, B*128) — slice to the scenery's T texels.
@@ -321,6 +388,9 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
     N, A = angles.shape
     L = lines_now.shape[1]
     presplit = table8.ndim == 4
+    if table_patch is not None and not (presplit and patch_rows):
+        raise ValueError('table_patch requires a pre-split table8 and patch_rows')
+    patch_rows = tuple(patch_rows) if table_patch is not None else ()
     B = table8.shape[-2] // 8
     E = default_env_block(N, L, res, B) if env_block is None else env_block
     NB = N // E
@@ -330,9 +400,13 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
     table8 = (table8.reshape(NB, E, 3, 8 * B, LO_WIDTH) if presplit
               else table8.reshape(NB, E, 8 * B, LO_WIDTH))
     pose = jnp.concatenate([angles[..., None], positions], -1).reshape(NB, E, A, 3)
+    P = len(patch_rows)
+    operands = [flat, attrs, table8, pose]
+    if patch_rows:
+        operands.append(table_patch.reshape(NB, E, 3, P, LO_WIDTH))
 
     kernel = partial(_observe_kernel, res, E, B, float(half_screen_width),
-                     float(agent_radius), want_seen, presplit)
+                     float(agent_radius), want_seen, presplit, patch_rows)
     out_shape = [
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.int32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
@@ -343,23 +417,28 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         out_shape += [jax.ShapeDtypeStruct((NB, A, E, B, LO_WIDTH), jnp.float32)]
 
     scratch_shapes = []
-    if not presplit and A > 1:
+    if patch_rows or (not presplit and A > 1):
         scratch_shapes = [pltpu.VMEM((E, 3, 8 * B, LO_WIDTH), jnp.bfloat16)]
+    in_specs = [
+        pl.BlockSpec((1, E, L, 4), lambda n, a: (n, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, E, 4, L), lambda n, a: (n, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        (pl.BlockSpec((1, E, 3, 8 * B, LO_WIDTH),
+                      lambda n, a: (n, 0, 0, 0, 0),
+                      memory_space=pltpu.VMEM) if presplit else
+         pl.BlockSpec((1, E, 8 * B, LO_WIDTH), lambda n, a: (n, 0, 0, 0),
+                      memory_space=pltpu.VMEM)),
+        pl.BlockSpec((1, E, A, 3), lambda n, a: (n, 0, 0, 0),
+                     memory_space=pltpu.SMEM)]
+    if patch_rows:
+        in_specs.append(pl.BlockSpec(
+            (1, E, 3, P, LO_WIDTH), lambda n, a: (n, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM))
     grid_spec = pl.GridSpec(
         grid=(NB, A),
         scratch_shapes=scratch_shapes,
-        in_specs=[
-            pl.BlockSpec((1, E, L, 4), lambda n, a: (n, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E, 4, L), lambda n, a: (n, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            (pl.BlockSpec((1, E, 3, 8 * B, LO_WIDTH),
-                          lambda n, a: (n, 0, 0, 0, 0),
-                          memory_space=pltpu.VMEM) if presplit else
-             pl.BlockSpec((1, E, 8 * B, LO_WIDTH), lambda n, a: (n, 0, 0, 0),
-                          memory_space=pltpu.VMEM)),
-            pl.BlockSpec((1, E, A, 3), lambda n, a: (n, 0, 0, 0),
-                         memory_space=pltpu.SMEM)],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, E, res), lambda n, a: (n, a, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -375,7 +454,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
             vmem_limit_bytes=100 * 1024 * 1024,
             dimension_semantics=('parallel', 'arbitrary')),
         interpret=interpret,
-    )(flat, attrs, table8, pose)
+    )(*operands)
     idx, dist, r, g, b = outs[:5]
 
     def to_nar(x):

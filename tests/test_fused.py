@@ -185,3 +185,52 @@ def test_deathmatch_fused_other_agent_counts():
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(outs[0][0].matchings),
                                       np.asarray(outs[1][0].matchings))
+
+
+def test_table8_patch_matches_full_rebuild():
+    """pack_table8_patch rows are bit-identical to a full table rebuild's, and
+    dynamic_rows covers every row a dynamic re-bake can change."""
+    scn, c, agents = _setup(n_envs=2, n_agents=2)
+    T_dyn, t_pad = scn.n_dynamic_texels, scn.baked.shape[1]
+    dyn = 0.5 + jax.random.uniform(jax.random.PRNGKey(3),
+                                   (scn.baked.shape[0], T_dyn))
+    baked_now = scn.baked.at[:, :T_dyn].set(dyn)
+
+    full_old = np.asarray(fused.split_table8(fused.pack_table8(scn)))
+    full_new = np.asarray(fused.split_table8(fused.pack_table8(scn, baked_now)))
+    rows = fused.dynamic_rows(T_dyn, t_pad)
+    patch = np.asarray(fused.pack_table8_patch(scn, dyn))
+
+    np.testing.assert_array_equal(patch, full_new[:, :, rows, :])
+    other = [r for r in range(full_new.shape[2]) if r not in rows]
+    np.testing.assert_array_equal(full_new[:, :, other], full_old[:, :, other])
+
+
+def test_fused_observe_patch_path_matches_rebuild():
+    """observe() with a static pre-split table + in-kernel patch rows produces
+    exactly the same outputs as a full per-frame table rebuild."""
+    scn, c, agents = _setup(n_envs=4, n_agents=2)
+    lines_now = render.draw(scn, agents)
+    T_dyn, t_pad = scn.n_dynamic_texels, scn.baked.shape[1]
+    dyn = 0.25 + jax.random.uniform(jax.random.PRNGKey(7),
+                                    (scn.baked.shape[0], T_dyn))
+    baked_now = scn.baked.at[:, :T_dyn].set(dyn)
+    args = (scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius)
+    attrs = fused.line_attrs(lines_now, scn)
+
+    rebuilt = fused.observe(lines_now, attrs, fused.pack_table8(scn, baked_now),
+                            *args, want_seen=False, env_block=2, interpret=True)
+    patched = fused.observe(lines_now, attrs,
+                            fused.split_table8(fused.pack_table8(scn)), *args,
+                            want_seen=False, env_block=2,
+                            table_patch=fused.pack_table8_patch(scn, dyn),
+                            patch_rows=fused.dynamic_rows(T_dyn, t_pad),
+                            interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(rebuilt.indices),
+                                  np.asarray(patched.indices))
+    np.testing.assert_array_equal(np.asarray(rebuilt.distances),
+                                  np.asarray(patched.distances))
+    np.testing.assert_array_equal(np.asarray(rebuilt.screen),
+                                  np.asarray(patched.screen))
