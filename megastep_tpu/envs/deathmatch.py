@@ -55,6 +55,10 @@ class Deathmatch:
                  fused=None, **kwargs):
         n_scenes = max(n_envs // n_agents, 1)
         geometries = cubicasa.sample(n_scenes) if geometries is None else geometries
+        # Scene order carries no semantics; sorting by texel count lets the
+        # fused observe run size buckets padded to their own max
+        # (ops.fused.size_groups) instead of the global worst case.
+        geometries = scene.sort_by_size(geometries, n_agents)
         scenery = scene.scenery(geometries, n_agents)
         self.core = core.Core(scenery, res=kwargs.pop('res', 4 * 128),
                               fov=kwargs.pop('fov', 70), **kwargs)
@@ -86,8 +90,11 @@ class Deathmatch:
         if self._use_fused:
             from ..ops import fused as fused_ops
             self._table8 = fused_ops.split_table8(fused_ops.pack_table8(scenery))
+            self._groups = fused_ops.size_groups(scenery.lines_width,
+                                                 scenery.tex_width)
         else:
             self._table8 = None
+            self._groups = ()
 
     def _respawn(self, agents, health, damage, reset, key):
         agents = self._spawner(agents, reset, key)
@@ -153,7 +160,8 @@ class Deathmatch:
             # per-frame table rebuild, split in-kernel.
             baked_now = scn.baked.at[:, :scn.n_dynamic_texels].set(dyn)
             table8, patch, rows = fused_ops.pack_table8(scn, baked_now), None, ()
-        out = fused_ops.observe(
+        out = fused_ops.observe_grouped(
+            self._groups,
             lines_now, fused_ops.line_attrs(lines_now, scn), table8,
             scn.lines_width, agents.angles, agents.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=False,

@@ -38,6 +38,10 @@ class Explorer:
     def __init__(self, n_envs, geometries=None, subsample=4, fused=None,
                  pad_to=None, random=None, **kwargs):
         geometries = cubicasa.sample(n_envs) if geometries is None else geometries
+        # Scene order carries no semantics; sorting by texel count lets the
+        # fused observe run size buckets padded to their own max
+        # (ops.fused.size_groups) instead of the global worst case.
+        geometries = scene.sort_by_size(geometries, 1)
         scenery = scene.scenery(geometries, 1, random=random, pad_to=pad_to)
         self.core = core.Core(scenery, res=kwargs.pop('res', 4 * 64),
                               fov=kwargs.pop('fov', 130), **kwargs)
@@ -53,8 +57,11 @@ class Explorer:
         if self._use_fused:
             from ..ops import fused as fused_ops
             self._table8 = fused_ops.split_table8(fused_ops.pack_table8(scenery))
+            self._groups = fused_ops.size_groups(scenery.lines_width,
+                                                 scenery.tex_width)
         else:
             self._table8 = None
+            self._groups = ()
 
         self.action_space = self._mover.space
         self.obs_space = dotdict(
@@ -125,7 +132,8 @@ class Explorer:
         scn = self.core.scenery
         c = self.core
         lines_now = render_ops.draw(scn, agents)
-        out = fused_ops.observe(
+        out = fused_ops.observe_grouped(
+            self._groups,
             lines_now, fused_ops.line_attrs(lines_now, scn), self._table8,
             scn.lines_width, agents.angles, agents.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=True,
@@ -144,7 +152,7 @@ class Explorer:
         return obs, seen, potential, reward
 
     def _observe(self, agents, seen, reset):
-        if self._use_fused:
+        if self._use_fused and self._table8 is not None:
             return self._observe_fused(agents, seen, reset)
         r = modules.render(self.core, agents)
         obs = arrdict(

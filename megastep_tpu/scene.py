@@ -68,6 +68,25 @@ def resolutions(lines):
     return np.maximum(np.ceil(lengths(lines) / constants.TEXTURE_RES).astype(int), 1)
 
 
+def texel_sizes(geometries, n_agents=1):
+    """Exact per-geometry texel count (dynamic agent-model texels + wall
+    texels) — the sort key for size-bucketed batching: ordering scenes by this
+    before :func:`scenery` lets the fused observe run each contiguous bucket
+    padded only to *its* max (``ops.fused.size_groups``), instead of every env
+    paying for the global worst case."""
+    dyn = int(resolutions(np.tile(agent_model(), (n_agents, 1, 1))).sum())
+    return np.array([dyn + int(resolutions(
+        np.asarray(g['walls'], dtype=float)).sum()) for g in geometries])
+
+
+def sort_by_size(geometries, n_agents=1):
+    """Stable-sorts a geometry list by :func:`texel_sizes` (ascending). Scene
+    order carries no semantics — scenes are independent iid samples — so envs
+    sort at build time to enable size-bucketed observe batching."""
+    order = np.argsort(texel_sizes(geometries, n_agents), kind='stable')
+    return [geometries[i] for i in order]
+
+
 def wall_pattern(n, l=.5, random=np.random):
     """A random piecewise-constant brightness pattern giving walls depth cues
     (``scene.py:43-48``)."""

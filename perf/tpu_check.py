@@ -14,11 +14,14 @@ import jax
 import jax.numpy as jnp
 
 
-def check(n_envs, n_agents, res, geom_kw, tag, presplit=True):
+def check(n_envs, n_agents, res, geom_kw, tag, presplit=True, grouped=False,
+          patched=False):
     from megastep_tpu import core, floorplans, scene
     from megastep_tpu.ops import fused, render
 
     geoms = floorplans.sample(n_envs, **geom_kw)
+    if grouped:
+        geoms = scene.sort_by_size(geoms, n_agents)
     scn = scene.scenery(geoms, n_agents=n_agents,
                         random=np.random.RandomState(0))
     c = core.Core(scn, res=res, fov=130)
@@ -34,13 +37,25 @@ def check(n_envs, n_agents, res, geom_kw, tag, presplit=True):
                         c.agent_radius)
     screen = render.shade(scn, rc, scn.baked, method='onehot')
 
+    kw = dict(want_seen=True)
+    if patched:
+        # Dynamic rows rewritten in-kernel from the per-frame patch: feed the
+        # *current* baked values through the patch so outputs must still match
+        # the split pipeline exactly.
+        dyn = scn.baked[:, :scn.n_dynamic_texels]
+        kw.update(table_patch=fused.pack_table8_patch(scn, dyn),
+                  patch_rows=fused.dynamic_rows(scn.n_dynamic_texels,
+                                                scn.baked.shape[1]))
+        presplit = True
     table = fused.pack_table8(scn)
     if presplit:
         table = fused.split_table8(table)
-    out = fused.observe(
-        lines_now, fused.line_attrs(lines_now, scn), table,
+    groups = (fused.size_groups(scn.lines_width, scn.tex_width, gran=8)
+              if grouped else ())
+    out = fused.observe_grouped(
+        groups, lines_now, fused.line_attrs(lines_now, scn), table,
         scn.lines_width, agents.angles, agents.positions, res,
-        c.half_screen_width, c.agent_radius, want_seen=True)
+        c.half_screen_width, c.agent_radius, **kw)
 
     idx_match = np.array_equal(np.asarray(rc.indices), np.asarray(out.indices))
     d_err = np.nanmax(np.abs(np.where(np.isinf(np.asarray(rc.distances)), 0,
@@ -82,4 +97,8 @@ if __name__ == '__main__':
     check(128, 1, 192, {}, 'odd-res')
     check(64, 1, 256, dict(width=30., height=30., max_depth=9, stop=.02),
           'cubicasa-scale')
+    # Size-bucketed observe (per-group L/B slicing) on compiled Mosaic.
+    check(256, 1, 256, {}, 'grouped', grouped=True)
+    # In-kernel dynamic-row patching (the Deathmatch re-bake path), grouped.
+    check(64, 4, 512, {}, 'patched-grouped', grouped=True, patched=True)
     print('ALL OK (compiled Mosaic kernel matches the split pipeline on TPU)')

@@ -234,3 +234,88 @@ def test_fused_observe_patch_path_matches_rebuild():
                                   np.asarray(patched.distances))
     np.testing.assert_array_equal(np.asarray(rebuilt.screen),
                                   np.asarray(patched.screen))
+
+
+def test_fused_observe_grouped_matches_full():
+    """Size-bucketed observe (per-group L/B padding) returns exactly the full
+    kernel's outputs, including seen counts re-padded to the global table."""
+    geoms = floorplans.sample(3) + [toys.box()]
+    geoms = scene.sort_by_size(geoms, 2)
+    scn = scene.scenery(geoms, n_agents=2, random=np.random.RandomState(5))
+    c = core.Core(scn, res=64, fov=130)
+    agents = c.init_agents()
+    key = jax.random.PRNGKey(2)
+    agents['positions'] = 2.5 + 2 * jax.random.uniform(key, agents.positions.shape)
+    agents['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
+
+    lines_now = render.draw(scn, agents)
+    attrs = fused.line_attrs(lines_now, scn)
+    table = fused.split_table8(fused.pack_table8(scn))
+    args = (scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius)
+
+    groups = fused.size_groups(scn.lines_width, scn.tex_width,
+                               n_groups=2, gran=2)
+    assert len(groups) == 2
+    # group maxes bound their members and undercut the global pad
+    assert groups[0][3] <= groups[1][3] <= scn.baked.shape[1] // 128 + 1
+
+    full = fused.observe(lines_now, attrs, table, *args, want_seen=True,
+                         env_block=2, interpret=True)
+    grouped = fused.observe_grouped(groups, lines_now, attrs, table, *args,
+                                    want_seen=True, env_block=2,
+                                    interpret=True)
+
+    # Indices are exact; float outputs tolerate the ~1-ULP drift XLA's
+    # shape-dependent fusion introduces between the sliced and full programs
+    # (a bare env-axis slice alone reproduces it in interpret mode).
+    np.testing.assert_array_equal(np.asarray(full.indices),
+                                  np.asarray(grouped.indices))
+    np.testing.assert_allclose(np.asarray(full.distances),
+                               np.asarray(grouped.distances), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(full.screen),
+                               np.asarray(grouped.screen), rtol=2e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(full.seen_counts),
+                                  np.asarray(grouped.seen_counts))
+
+
+def test_fused_observe_grouped_patch_matches_full():
+    """Grouped observe composes with the in-kernel table patch: identical to
+    the ungrouped patched kernel (wrap row dropped where sliced away)."""
+    geoms = scene.sort_by_size(floorplans.sample(3) + [toys.box()], 2)
+    scn = scene.scenery(geoms, n_agents=2, random=np.random.RandomState(5))
+    c = core.Core(scn, res=64, fov=130)
+    agents = c.init_agents()
+    key = jax.random.PRNGKey(4)
+    agents['positions'] = 2.5 + 2 * jax.random.uniform(key, agents.positions.shape)
+    agents['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
+
+    lines_now = render.draw(scn, agents)
+    attrs = fused.line_attrs(lines_now, scn)
+    T_dyn, t_pad = scn.n_dynamic_texels, scn.baked.shape[1]
+    dyn = 0.25 + jax.random.uniform(jax.random.PRNGKey(9),
+                                    (scn.baked.shape[0], T_dyn))
+    table = fused.split_table8(fused.pack_table8(scn))
+    patch = fused.pack_table8_patch(scn, dyn)
+    rows = fused.dynamic_rows(T_dyn, t_pad)
+    args = (scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius)
+    groups = fused.size_groups(scn.lines_width, scn.tex_width,
+                               n_groups=2, gran=2)
+
+    full = fused.observe(lines_now, attrs, table, *args, want_seen=False,
+                         env_block=2, table_patch=patch, patch_rows=rows,
+                         interpret=True)
+    grouped = fused.observe_grouped(groups, lines_now, attrs, table, *args,
+                                    want_seen=False, env_block=2,
+                                    table_patch=patch, patch_rows=rows,
+                                    interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(full.indices),
+                                  np.asarray(grouped.indices))
+    np.testing.assert_allclose(np.asarray(full.distances),
+                               np.asarray(grouped.distances), rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(full.screen),
+                               np.asarray(grouped.screen), rtol=2e-6, atol=1e-6)
