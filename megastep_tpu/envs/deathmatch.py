@@ -52,7 +52,7 @@ class Deathmatch:
     """
 
     def __init__(self, n_envs, n_agents=4, geometries=None, subsample=4,
-                 fused=None, **kwargs):
+                 fused=None, obs_groups=None, **kwargs):
         n_scenes = max(n_envs // n_agents, 1)
         geometries = cubicasa.sample(n_scenes) if geometries is None else geometries
         # Scene order carries no semantics; sorting by texel count lets the
@@ -90,8 +90,11 @@ class Deathmatch:
         if self._use_fused:
             from ..ops import fused as fused_ops
             self._table8 = fused_ops.split_table8(fused_ops.pack_table8(scenery))
-            self._groups = fused_ops.size_groups(scenery.lines_width,
-                                                 scenery.tex_width)
+            # obs_groups=1 disables bucketing (multi-host SPMD: per-host group
+            # specs would diverge into different compiled programs).
+            self._groups = fused_ops.size_groups(
+                scenery.lines_width, scenery.tex_width,
+                n_groups=4 if obs_groups is None else obs_groups)
         else:
             self._table8 = None
             self._groups = ()

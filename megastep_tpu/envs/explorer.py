@@ -36,7 +36,7 @@ class Explorer:
     """
 
     def __init__(self, n_envs, geometries=None, subsample=4, fused=None,
-                 pad_to=None, random=None, **kwargs):
+                 pad_to=None, random=None, obs_groups=None, **kwargs):
         geometries = cubicasa.sample(n_envs) if geometries is None else geometries
         # Scene order carries no semantics; sorting by texel count lets the
         # fused observe run size buckets padded to their own max
@@ -57,8 +57,12 @@ class Explorer:
         if self._use_fused:
             from ..ops import fused as fused_ops
             self._table8 = fused_ops.split_table8(fused_ops.pack_table8(scenery))
-            self._groups = fused_ops.size_groups(scenery.lines_width,
-                                                 scenery.tex_width)
+            # obs_groups=1 disables bucketing — required in multi-host SPMD,
+            # where per-host group specs would diverge into different compiled
+            # programs (parallel.host passes it).
+            self._groups = fused_ops.size_groups(
+                scenery.lines_width, scenery.tex_width,
+                n_groups=4 if obs_groups is None else obs_groups)
         else:
             self._table8 = None
             self._groups = ()

@@ -69,6 +69,9 @@ def sharded_explorer(n_envs, m, geometries, seed=0, **kwargs):
     pad = scene.padded_sizes(geometries, n_agents=1)
     lo, hi = process_slice(n_envs)
     random = np.random.RandomState(seed + jax.process_index())
+    # obs_groups=1: per-host size buckets would compile different programs on
+    # each host; SPMD needs one. (Scenery shapes already agree via pad_to.)
     local = Explorer(hi - lo, geometries=geometries[lo:hi], pad_to=pad,
-                     random=random, **kwargs)
+                     random=random, obs_groups=kwargs.pop('obs_groups', 1),
+                     **kwargs)
     return assemble_env(local, m)
