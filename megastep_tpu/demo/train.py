@@ -126,12 +126,6 @@ def optimize(apply, opt, params, opt_state, batch, state0, **hp):
     return params, opt_state, aux
 
 
-#: Scalar keys :func:`optimize` reports — the KL-early-stop skip branch mirrors
-#: this structure so both ``lax.cond`` branches return identical pytrees.
-AUX_KEYS = ('v_loss', 'p_loss', 'h_loss', 'kl_div', 'v_target_mean',
-            'adv_std', 'loss')
-
-
 def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
                     kl_limit=.02, **hp):
     """Builds the jitted one-chunk training step: rollout → minibatched PPO with
@@ -166,15 +160,17 @@ def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
                 return optimize(apply, opt, params, opt_state, batch, s0, **hp)
 
             def skip(params, opt_state):
-                # Reported zeros dilute the per-chunk aux means once the stop
-                # trips; the 'skipped' fraction below says by how much.
-                return params, opt_state, {k: jnp.zeros(()) for k in AUX_KEYS}
+                aux_shapes = jax.eval_shape(live, params, opt_state)[2]
+                zeros = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), aux_shapes)
+                return params, opt_state, zeros
 
             # KL early stop: once exceeded, later minibatches skip their
             # forward+backward entirely (reference breaks its Python loop,
             # demo/__init__.py:138-141).
             params, opt_state, aux = jax.lax.cond(dead, skip, live,
                                                   params, opt_state)
+            aux['ran'] = 1. - dead.astype(jnp.float32)
             dead = dead | (aux['kl_div'] > kl_limit)
             aux['skipped'] = dead.astype(jnp.float32)
             return (params, opt_state, dead), aux
@@ -184,7 +180,13 @@ def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
             minibatch, (carry.params, carry.opt_state, jnp.zeros((), bool)),
             idx_batches)
 
-        metrics = {k: v.mean() for k, v in aux.items()}
+        # Average opt stats over the minibatches that actually ran, so a
+        # tripped KL stop doesn't dilute kl_div/loss with the skip branch's
+        # zeros (the reference averages only executed minibatches too).
+        ran = aux.pop('ran')
+        n_ran = jnp.maximum(ran.sum(), 1.)
+        metrics = {k: (v * ran).sum() / n_ran for k, v in aux.items()}
+        metrics['skipped'] = aux['skipped'].mean()
         metrics.update(as_chunk(chunk))
         new_carry = arrdict(
             params=params, opt_state=opt_state, env_state=env_state,

@@ -52,13 +52,17 @@ class Deathmatch:
     """
 
     def __init__(self, n_envs, n_agents=4, geometries=None, subsample=4,
-                 fused=None, obs_groups=None, **kwargs):
+                 fused=None, obs_groups=None, sort_scenes=True, **kwargs):
         n_scenes = max(n_envs // n_agents, 1)
         geometries = cubicasa.sample(n_scenes) if geometries is None else geometries
-        # Scene order carries no semantics; sorting by texel count lets the
-        # fused observe run size buckets padded to their own max
-        # (ops.fused.size_groups) instead of the global worst case.
-        geometries = scene.sort_by_size(geometries, n_agents)
+        # Scenes are re-ordered by texel count so the fused observe can run
+        # size buckets padded to their own max (ops.fused.size_groups) instead
+        # of the global worst case. NOTE: scene i then uses
+        # ``geometries[self.scene_order[i]]`` of the caller's list — pass
+        # ``sort_scenes=False`` to keep the caller's order.
+        self.scene_order = (scene.size_order(geometries, n_agents)
+                            if sort_scenes else np.arange(len(geometries)))
+        geometries = [geometries[i] for i in self.scene_order]
         scenery = scene.scenery(geometries, n_agents)
         self.core = core.Core(scenery, res=kwargs.pop('res', 4 * 128),
                               fov=kwargs.pop('fov', 70), **kwargs)

@@ -36,12 +36,18 @@ class Explorer:
     """
 
     def __init__(self, n_envs, geometries=None, subsample=4, fused=None,
-                 pad_to=None, random=None, obs_groups=None, **kwargs):
+                 pad_to=None, random=None, obs_groups=None, sort_scenes=True,
+                 **kwargs):
         geometries = cubicasa.sample(n_envs) if geometries is None else geometries
-        # Scene order carries no semantics; sorting by texel count lets the
-        # fused observe run size buckets padded to their own max
-        # (ops.fused.size_groups) instead of the global worst case.
-        geometries = scene.sort_by_size(geometries, 1)
+        # Scenes are re-ordered by texel count so the fused observe can run
+        # size buckets padded to their own max (ops.fused.size_groups) instead
+        # of the global worst case. NOTE: env i then uses
+        # ``geometries[self.scene_order[i]]`` of the caller's list — pass
+        # ``sort_scenes=False`` to keep the caller's order (at the cost of
+        # mixed-size buckets).
+        self.scene_order = (scene.size_order(geometries, 1) if sort_scenes
+                            else np.arange(len(geometries)))
+        geometries = [geometries[i] for i in self.scene_order]
         scenery = scene.scenery(geometries, 1, random=random, pad_to=pad_to)
         self.core = core.Core(scenery, res=kwargs.pop('res', 4 * 64),
                               fov=kwargs.pop('fov', 130), **kwargs)

@@ -389,9 +389,13 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
     N, A = angles.shape
     L = lines_now.shape[1]
     presplit = table8.ndim == 4
-    if table_patch is not None and not (presplit and patch_rows):
-        raise ValueError('table_patch requires a pre-split table8 and patch_rows')
-    patch_rows = tuple(patch_rows) if table_patch is not None else ()
+    if (table_patch is None) != (len(patch_rows) == 0):
+        raise ValueError('table_patch and patch_rows must be passed together '
+                         '(a dropped patch would silently freeze dynamic '
+                         'lighting)')
+    if table_patch is not None and not presplit:
+        raise ValueError('table_patch requires a pre-split table8')
+    patch_rows = tuple(patch_rows)
     B = table8.shape[-2] // 8
     E = default_env_block(N, L, res, B) if env_block is None else env_block
     NB = N // E

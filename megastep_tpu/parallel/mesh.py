@@ -6,6 +6,11 @@ every chip. Params and optimizer state are replicated; each chip steps its env s
 (physics + raycast are embarrassingly parallel over envs) and the learner's gradient
 all-reduce is the only per-step collective, riding ICI. This replaces the
 reference's ``DDP2`` gradient sync (``rebar/processes.py:39-70``).
+
+Build envs for a multi-chip mesh with ``obs_groups=1``: the fused observe's
+size buckets slice the env axis at group boundaries, which cut across device
+shards and force per-step resharding collectives around every group's kernel
+call (``parallel.scaling`` and ``parallel.host`` do this already).
 """
 import numpy as np
 import jax

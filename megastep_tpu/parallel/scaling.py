@@ -36,7 +36,11 @@ def measure(n_envs, n_devices=None, width=256, buffer_size=32, steps=3,
 
     geoms = floorplans.sample(min(n_envs, 512))
     geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
-    env = Explorer(n_envs, geometries=geoms, res=res)
+    # obs_groups=1: size buckets slice the env axis at group boundaries, which
+    # cut across device shards on a multi-chip mesh and force per-step
+    # resharding collectives around every group's kernel call.
+    env = Explorer(n_envs, geometries=geoms, res=res,
+                   obs_groups=1 if n_devices > 1 else None)
     agent = Agent(env.obs_space, env.action_space, width=width)
     opt = optimizer()
 

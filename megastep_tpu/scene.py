@@ -79,12 +79,18 @@ def texel_sizes(geometries, n_agents=1):
         np.asarray(g['walls'], dtype=float)).sum()) for g in geometries])
 
 
+def size_order(geometries, n_agents=1):
+    """Stable ascending argsort of :func:`texel_sizes` — the permutation envs
+    apply to their scene list (``env.scene_order``): env/scene ``i`` uses
+    ``geometries[env.scene_order[i]]`` of the caller's original list."""
+    return np.argsort(texel_sizes(geometries, n_agents), kind='stable')
+
+
 def sort_by_size(geometries, n_agents=1):
     """Stable-sorts a geometry list by :func:`texel_sizes` (ascending). Scene
     order carries no semantics — scenes are independent iid samples — so envs
     sort at build time to enable size-bucketed observe batching."""
-    order = np.argsort(texel_sizes(geometries, n_agents), kind='stable')
-    return [geometries[i] for i in order]
+    return [geometries[i] for i in size_order(geometries, n_agents)]
 
 
 def wall_pattern(n, l=.5, random=np.random):
