@@ -98,3 +98,23 @@ def test_deathmatch_respawn(key):
     state2, world2 = jax.jit(env.step)(state, decision, key)
     assert bool(world2.reset.all())
     assert (np.asarray(state2.health) > .9).all()
+
+
+def test_scene_order_attribution(key):
+    """Envs sort scenes by size; scene_order maps env index -> the caller's
+    original geometry list, and sort_scenes=False keeps the caller's order."""
+    from megastep_tpu import scene
+
+    geoms = floorplans.sample(4)
+    sizes = scene.texel_sizes(geoms, 1)
+    env = envs.Explorer(4, geometries=geoms, res=64)
+    # scenery tex widths are ascending (sorted build)
+    tw = np.asarray(env.core.scenery.tex_width)
+    assert (np.diff(tw) >= 0).all()
+    # env i was built from geoms[scene_order[i]]
+    assert sorted(env.scene_order.tolist()) == [0, 1, 2, 3]
+    got_sizes = sizes[env.scene_order]
+    assert (np.diff(got_sizes) >= 0).all()
+
+    unsorted = envs.Explorer(4, geometries=geoms, res=64, sort_scenes=False)
+    assert unsorted.scene_order.tolist() == [0, 1, 2, 3]
