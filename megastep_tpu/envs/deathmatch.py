@@ -149,15 +149,29 @@ class Deathmatch:
         mask = (0 <= line_idxs) & (obj_idxs < self.core.n_agents)
         return jnp.where(mask, obj_idxs, -1)
 
+    def _rebake(self, scn, lines_now):
+        """Per-step dynamic-texel re-bake, ridden over the same size buckets as
+        the fused observe: each group's occlusion stream runs over only the
+        group's own (padded) static line count instead of the global max."""
+        from ..ops import bake
+        if len(self._groups) <= 1:
+            return bake.dynamic_texel_intensity(scn, lines_now,
+                                                k_max=self._k_lights)
+        return jnp.concatenate([
+            bake.dynamic_texel_intensity(
+                scn.env_slice(g0, g1), lines_now[g0:g1, :Lg],
+                k_max=self._k_lights)
+            for g0, g1, Lg, _ in self._groups])
+
     def _observe_fused(self, agents, health, damage):
         """One-kernel observe (:mod:`megastep_tpu.ops.fused`) with per-frame
         dynamic re-bake: agent-model texel lighting is recomputed before the
         shade table is packed, matching ``render(rebake_dynamic=True)``."""
-        from ..ops import bake, fused as fused_ops, render as render_ops
+        from ..ops import fused as fused_ops, render as render_ops
         scn = self.core.scenery
         c = self.core
         lines_now = render_ops.draw(scn, agents)
-        dyn = bake.dynamic_texel_intensity(scn, lines_now, k_max=self._k_lights)
+        dyn = self._rebake(scn, lines_now)
         if self._table8 is not None:
             table8, patch = self._table8, fused_ops.pack_table8_patch(scn, dyn)
             rows = fused_ops.dynamic_rows(scn.n_dynamic_texels,

@@ -28,17 +28,25 @@ from . import geom
 
 
 def texel_points(lines, tex_line, line_tex_starts, line_tex_widths, t0, T,
-                 method=None):
+                 method=None, l_max=None):
     """World coordinates of texel centers ``t0 : t0+T`` for every env.
 
     :param lines: (N, L, 2, 2) line array to read geometry from.
     :param tex_line: (N, Tmax) owning line of each texel.
     :param method: 'onehot' (MXU lookups — the TPU default; per-row gathers
         serialize there) or 'gather'.
+    :param l_max: static upper bound on the owning-line index of the requested
+        texels (all ``tex_line[:, t0:t0+T] < l_max``) — slices the line axis
+        out of the lookup. The dynamic re-bake passes ``n_dynamic``: agent
+        texels live on agent lines, so the wall rows are dead weight there.
     :return: (N, T, 2) texel centers.
     """
     if method is None:
         method = 'onehot' if jax.default_backend() == 'tpu' else 'gather'
+    if l_max is not None:
+        lines = lines[:, :l_max]
+        line_tex_starts = line_tex_starts[:, :l_max]
+        line_tex_widths = line_tex_widths[:, :l_max]
     tl = jax.lax.dynamic_slice_in_dim(tex_line, t0, T, axis=1)            # (N, T)
     if method == 'onehot':
         from .render import onehot_lookup
@@ -156,11 +164,13 @@ def dynamic_texel_intensity(scenery, lines_now, k_max=None):
         (N, P, K) streams. ``None`` keeps the full padded axis.
     """
     T = scenery.n_dynamic_texels
+    nd = scenery.n_dynamic
+    # Dynamic texels live on the dynamic (agent-model) lines, which head the
+    # line array — the lookup never needs the wall rows.
     C = texel_points(lines_now, scenery.tex_line, scenery.line_tex_starts,
-                     scenery.line_tex_widths, 0, T)
+                     scenery.line_tex_widths, 0, T, l_max=nd)
     # Only static lines occlude — slice them off the front instead of masking
     # (halves the (N, P, K, L) occlusion stream).
-    nd = scenery.n_dynamic
     lights = scenery.lights if k_max is None else scenery.lights[:, :k_max]
     return intensity_at(C, lines_now[:, nd:], scenery.lines_width - nd, 0,
                         lights, scenery.lights_width)

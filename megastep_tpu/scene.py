@@ -170,6 +170,15 @@ class Scenery:
         """Number of leading line slots holding dynamic agent-model lines."""
         return self.n_agents * self.model.shape[0]
 
+    def env_slice(self, g0, g1):
+        """View of envs ``[g0, g1)`` — every per-env field sliced, shared/static
+        fields untouched. Used by size-bucketed per-group computation
+        (``ops.fused.size_groups``)."""
+        per_env = ('lines', 'lines_width', 'lights', 'lights_width',
+                   'textures', 'tex_width', 'baked', 'line_tex_starts',
+                   'line_tex_widths', 'tex_line')
+        return self.replace(**{f: getattr(self, f)[g0:g1] for f in per_env})
+
     @property
     def line_mask(self):
         return jnp.arange(self.lines.shape[1])[None] < self.lines_width[:, None]

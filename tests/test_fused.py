@@ -319,3 +319,30 @@ def test_fused_observe_grouped_patch_matches_full():
                                np.asarray(grouped.distances), rtol=2e-6)
     np.testing.assert_allclose(np.asarray(full.screen),
                                np.asarray(grouped.screen), rtol=2e-6, atol=1e-6)
+
+
+def test_rebake_grouped_matches_full():
+    """The size-bucketed dynamic re-bake (per-group static-line slicing +
+    l_max texel lookup) reproduces the full-array re-bake."""
+    from megastep_tpu.ops import bake
+
+    geoms = scene.sort_by_size(floorplans.sample(3) + [toys.box()], 2)
+    scn = scene.scenery(geoms, n_agents=2, random=np.random.RandomState(5))
+    c = core.Core(scn, res=64, fov=130)
+    agents = c.init_agents()
+    key = jax.random.PRNGKey(11)
+    agents['positions'] = 2.5 + 2 * jax.random.uniform(key, agents.positions.shape)
+    agents['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
+    lines_now = render.draw(scn, agents)
+
+    full = bake.dynamic_texel_intensity(scn, lines_now)
+    k_max = int(np.asarray(scn.lights_width).max())
+    groups = fused.size_groups(scn.lines_width, scn.tex_width,
+                               n_groups=2, gran=2)
+    grouped = jnp.concatenate([
+        bake.dynamic_texel_intensity(scn.env_slice(g0, g1),
+                                     lines_now[g0:g1, :Lg], k_max=k_max)
+        for g0, g1, Lg, _ in groups])
+    np.testing.assert_allclose(np.asarray(full), np.asarray(grouped),
+                               rtol=2e-6, atol=1e-6)
