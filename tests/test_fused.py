@@ -346,3 +346,43 @@ def test_rebake_grouped_matches_full():
         for g0, g1, Lg, _ in groups])
     np.testing.assert_allclose(np.asarray(full), np.asarray(grouped),
                                rtol=2e-6, atol=1e-6)
+
+
+def test_fast_shade_two_splits():
+    """splits=2 (fast shade) keeps indices/distances exact and shades within
+    the documented ~1.5e-5 relative error; splits=3 stays bit-exact."""
+    scn, c, agents = _setup()
+    lines_now = render.draw(scn, agents)
+    attrs = fused.line_attrs(lines_now, scn)
+    args = (scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius)
+
+    exact = fused.observe(lines_now, attrs,
+                          fused.split_table8(fused.pack_table8(scn), 3),
+                          *args, want_seen=False, env_block=2, interpret=True)
+    fast = fused.observe(lines_now, attrs,
+                         fused.split_table8(fused.pack_table8(scn), 2),
+                         *args, want_seen=False, env_block=2, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(exact.indices),
+                                  np.asarray(fast.indices))
+    np.testing.assert_array_equal(np.asarray(exact.distances),
+                                  np.asarray(fast.distances))
+    np.testing.assert_allclose(np.asarray(exact.screen),
+                               np.asarray(fast.screen), rtol=5e-5, atol=5e-5)
+    # and the fast patch path composes
+    T_dyn, t_pad = scn.n_dynamic_texels, scn.baked.shape[1]
+    dyn = 0.25 + jax.random.uniform(jax.random.PRNGKey(7),
+                                    (scn.baked.shape[0], T_dyn))
+    baked_now = scn.baked.at[:, :T_dyn].set(dyn)
+    fast_rebuild = fused.observe(
+        lines_now, attrs,
+        fused.split_table8(fused.pack_table8(scn, baked_now), 2), *args,
+        want_seen=False, env_block=2, interpret=True)
+    fast_patch = fused.observe(
+        lines_now, attrs, fused.split_table8(fused.pack_table8(scn), 2), *args,
+        want_seen=False, env_block=2,
+        table_patch=fused.pack_table8_patch(scn, dyn, splits=2),
+        patch_rows=fused.dynamic_rows(T_dyn, t_pad), interpret=True)
+    np.testing.assert_array_equal(np.asarray(fast_rebuild.screen),
+                                  np.asarray(fast_patch.screen))
