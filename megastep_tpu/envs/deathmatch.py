@@ -52,7 +52,8 @@ class Deathmatch:
     """
 
     def __init__(self, n_envs, n_agents=4, geometries=None, subsample=4,
-                 fused=None, obs_groups=None, sort_scenes=True, **kwargs):
+                 fused=None, obs_groups=None, sort_scenes=True, shade_splits=3,
+                 **kwargs):
         n_scenes = max(n_envs // n_agents, 1)
         geometries = cubicasa.sample(n_scenes) if geometries is None else geometries
         # Scenes are re-ordered by texel count so the fused observe can run
@@ -91,9 +92,13 @@ class Deathmatch:
         # dynamic re-bake only changes a few rows (the agent-model texels'
         # baked channel), which the kernel patches in VMEM
         # (ops.fused.pack_table8_patch) instead of rebuilding the table.
+        self._shade_splits = shade_splits
         if self._use_fused:
             from ..ops import fused as fused_ops
-            self._table8 = fused_ops.split_table8(fused_ops.pack_table8(scenery))
+            # shade_splits=2 is the opt-in fast mode: ~1.5e-5 relative shade
+            # error (vs exact f32 at 3) for one less MXU pass per lookup.
+            self._table8 = fused_ops.split_table8(
+                fused_ops.pack_table8(scenery), splits=shade_splits)
             # obs_groups=1 disables bucketing (multi-host SPMD: per-host group
             # specs would diverge into different compiled programs).
             self._groups = fused_ops.size_groups(
@@ -173,7 +178,9 @@ class Deathmatch:
         lines_now = render_ops.draw(scn, agents)
         dyn = self._rebake(scn, lines_now)
         if self._table8 is not None:
-            table8, patch = self._table8, fused_ops.pack_table8_patch(scn, dyn)
+            table8 = self._table8
+            patch = fused_ops.pack_table8_patch(scn, dyn,
+                                                splits=self._shade_splits)
             rows = fused_ops.dynamic_rows(scn.n_dynamic_texels,
                                           scn.baked.shape[1])
         else:

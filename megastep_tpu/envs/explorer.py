@@ -37,7 +37,7 @@ class Explorer:
 
     def __init__(self, n_envs, geometries=None, subsample=4, fused=None,
                  pad_to=None, random=None, obs_groups=None, sort_scenes=True,
-                 **kwargs):
+                 shade_splits=3, **kwargs):
         geometries = cubicasa.sample(n_envs) if geometries is None else geometries
         # Scenes are re-ordered by texel count so the fused observe can run
         # size buckets padded to their own max (ops.fused.size_groups) instead
@@ -62,7 +62,10 @@ class Explorer:
         # path can actually run (scenery is immutable, so it cannot go stale).
         if self._use_fused:
             from ..ops import fused as fused_ops
-            self._table8 = fused_ops.split_table8(fused_ops.pack_table8(scenery))
+            # shade_splits=2 is the opt-in fast mode: ~1.5e-5 relative shade
+            # error (vs exact f32 at 3) for one less MXU pass per lookup.
+            self._table8 = fused_ops.split_table8(
+                fused_ops.pack_table8(scenery), splits=shade_splits)
             # obs_groups=1 disables bucketing — required in multi-host SPMD,
             # where per-host group specs would diverge into different compiled
             # programs (parallel.host passes it).

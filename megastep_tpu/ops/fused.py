@@ -91,22 +91,34 @@ def line_attrs(lines_now, scenery):
                       scenery.line_tex_widths.astype(jnp.float32)], 1)
 
 
+def _splitn(x, n=3):
+    """bf16 residue split of f32: x ≈ sum of the n returned components —
+    exact at n=3 (the 24-bit mantissa in three 8-bit chunks, what
+    ``Precision.HIGHEST`` does internally); n=2 truncates to ~2^-16 relative
+    error (the opt-in fast-shade mode, still far tighter than the reference
+    CUDA shader's ``--use_fast_math`` numerics)."""
+    out = []
+    for _ in range(n - 1):
+        t = x.astype(jnp.bfloat16)
+        out.append(t)
+        x = x - t.astype(jnp.float32)
+    return tuple(out) + (x.astype(jnp.bfloat16),)
+
+
 def _split3(x):
-    """Exact 3-way bf16 split of f32: x == sum of the returned components (the
-    24-bit mantissa in three 8-bit chunks)."""
-    t1 = x.astype(jnp.bfloat16)
-    r1 = x - t1.astype(jnp.float32)
-    t2 = r1.astype(jnp.bfloat16)
-    t3 = (r1 - t2.astype(jnp.float32)).astype(jnp.bfloat16)
-    return t1, t2, t3
+    """Exact 3-way bf16 split of f32: x == sum of the returned components."""
+    return _splitn(x, 3)
 
 
-def split_table8(table8):
-    """Pre-splits the shade table into its three exact bf16 components
-    (see :func:`_split3`), stacked as (N, 3, B*8, 128) bf16 — computed once
-    outside the kernel (statically for single-agent envs) instead of per
-    (env, agent) program, which measured ~0.1 µs/env of in-kernel VPU time."""
-    return jnp.stack(_split3(table8), 1)
+def split_table8(table8, splits=3):
+    """Pre-splits the shade table into ``splits`` bf16 components
+    (see :func:`_splitn`), stacked as (N, splits, B*8, 128) bf16 — computed
+    once outside the kernel (statically for single-agent envs) instead of per
+    (env, agent) program, which measured ~0.1 µs/env of in-kernel VPU time.
+    Each component costs one bf16 MXU pass per shade lookup: ``splits=3`` is
+    exact f32, ``splits=2`` trades ~1.5e-5 relative shade error for a third
+    of the kernel's dominant MXU cost."""
+    return jnp.stack(_splitn(table8, splits), 1)
 
 
 def dynamic_rows(t_dyn, t_pad):
@@ -124,16 +136,17 @@ def dynamic_rows(t_dyn, t_pad):
     return tuple(rows if wrap in rows else rows + [wrap])
 
 
-def pack_table8_patch(scenery, baked_dyn):
+def pack_table8_patch(scenery, baked_dyn, splits=3):
     """Per-frame replacement rows for a *static pre-split* shade table, for
     envs where only the dynamic (agent-model) texels' lighting changes each
     frame (the Deathmatch re-bake). Instead of rebuilding and re-splitting the
     whole (N, B*8, 128) table per step, the kernel patches these few rows into
     its VMEM-resident copy (see ``table_patch`` in :func:`observe`).
 
-    :return: (N, 3, P, 128) bf16 — the :func:`_split3` components of the
+    :param splits: must match the static table's :func:`split_table8` count.
+    :return: (N, splits, P, 128) bf16 — the :func:`_splitn` components of the
         ``P = len(dynamic_rows(...))`` rows, bit-identical to the same rows of
-        ``split_table8(pack_table8(scenery, baked_patched))``.
+        ``split_table8(pack_table8(scenery, baked_patched), splits)``.
     """
     baked = scenery.baked
     N, t_pad = baked.shape
@@ -147,7 +160,7 @@ def pack_table8_patch(scenery, baked_dyn):
     content = jnp.stack(
         [chans[r % 8][:, (r // 8) * W:(r // 8 + 1) * W]
          for r in dynamic_rows(t_dyn, t_pad)], 1)         # (N, P, W) f32
-    return jnp.stack(_split3(content), 1)                 # (N, 3, P, W) bf16
+    return jnp.stack(_splitn(content, splits), 1)         # (N, S, P, W) bf16
 
 
 def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
@@ -194,7 +207,7 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
                 rowid = jax.lax.broadcasted_iota(
                     jnp.int32, (8 * n_blocks, 1), 0)
                 for e in range(env_block):
-                    for i in range(3):
+                    for i in range(table_ref.shape[2]):
                         t = table_ref[0, e, i]
                         for j, row in enumerate(patch_rows):
                             t = jnp.where(rowid == row,
@@ -295,9 +308,10 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         onehot_hi = (iota_b == tap_hi).astype(jnp.float32)             # (B, R)
 
         if scratch:
-            splits = (split_ref[e, 0], split_ref[e, 1], split_ref[e, 2])
+            splits = tuple(split_ref[e, i] for i in range(split_ref.shape[1]))
         elif presplit:
-            splits = (table_ref[0, e, 0], table_ref[0, e, 1], table_ref[0, e, 2])
+            splits = tuple(table_ref[0, e, i]
+                           for i in range(table_ref.shape[2]))
         else:
             splits = _split3(table_ref[0, e])
         inner = sum(
@@ -371,11 +385,13 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         line slots are all-zero segments, which the raycast's parallel test
         rejects identically to an explicit width mask — but kept in the
         signature to document the invariant at call sites.
-    :param table8: the shade table — (N, 3, B*8, 128) bf16 from
-        :func:`split_table8` (pre-split; right for static tables) or
-        (N, B*8, 128) f32 straight from :func:`pack_table8` (split in-kernel;
-        right for per-frame tables, where an XLA-side split costs more).
-    :param table_patch: (N, 3, P, 128) bf16 from :func:`pack_table8_patch` —
+    :param table8: the shade table — (N, S, B*8, 128) bf16 from
+        :func:`split_table8` (pre-split into S components: 3 = exact f32,
+        2 = fast mode at ~1.5e-5 relative shade error and one less MXU pass
+        per lookup) or (N, B*8, 128) f32 straight from :func:`pack_table8`
+        (split in-kernel; right for per-frame tables, where an XLA-side split
+        costs more).
+    :param table_patch: (N, S, P, 128) bf16 from :func:`pack_table8_patch` —
         per-frame replacement rows patched into the (pre-split) static table
         inside the kernel, so a dynamic re-bake costs a P-row stream instead
         of a full table rebuild. Requires a pre-split ``table8`` and
@@ -396,19 +412,22 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
     if table_patch is not None and not presplit:
         raise ValueError('table_patch requires a pre-split table8')
     patch_rows = tuple(patch_rows)
+    S = table8.shape[1] if presplit else 3  # bf16 components per lookup
+    if table_patch is not None and table_patch.shape[1] != S:
+        raise ValueError('table_patch split count must match table8')
     B = table8.shape[-2] // 8
     E = default_env_block(N, L, res, B) if env_block is None else env_block
     NB = N // E
 
     flat = lines_now.reshape(NB, E, L, 4)
     attrs = attrs.reshape(NB, E, 4, L)
-    table8 = (table8.reshape(NB, E, 3, 8 * B, LO_WIDTH) if presplit
+    table8 = (table8.reshape(NB, E, S, 8 * B, LO_WIDTH) if presplit
               else table8.reshape(NB, E, 8 * B, LO_WIDTH))
     pose = jnp.concatenate([angles[..., None], positions], -1).reshape(NB, E, A, 3)
     P = len(patch_rows)
     operands = [flat, attrs, table8, pose]
     if patch_rows:
-        operands.append(table_patch.reshape(NB, E, 3, P, LO_WIDTH))
+        operands.append(table_patch.reshape(NB, E, S, P, LO_WIDTH))
 
     kernel = partial(_observe_kernel, res, E, B, float(half_screen_width),
                      float(agent_radius), want_seen, presplit, patch_rows)
@@ -423,13 +442,13 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
 
     scratch_shapes = []
     if patch_rows or (not presplit and A > 1):
-        scratch_shapes = [pltpu.VMEM((E, 3, 8 * B, LO_WIDTH), jnp.bfloat16)]
+        scratch_shapes = [pltpu.VMEM((E, S, 8 * B, LO_WIDTH), jnp.bfloat16)]
     in_specs = [
         pl.BlockSpec((1, E, L, 4), lambda n, a: (n, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, E, 4, L), lambda n, a: (n, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        (pl.BlockSpec((1, E, 3, 8 * B, LO_WIDTH),
+        (pl.BlockSpec((1, E, S, 8 * B, LO_WIDTH),
                       lambda n, a: (n, 0, 0, 0, 0),
                       memory_space=pltpu.VMEM) if presplit else
          pl.BlockSpec((1, E, 8 * B, LO_WIDTH), lambda n, a: (n, 0, 0, 0),
@@ -438,7 +457,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
                      memory_space=pltpu.SMEM)]
     if patch_rows:
         in_specs.append(pl.BlockSpec(
-            (1, E, 3, P, LO_WIDTH), lambda n, a: (n, 0, 0, 0, 0),
+            (1, E, S, P, LO_WIDTH), lambda n, a: (n, 0, 0, 0, 0),
             memory_space=pltpu.VMEM))
     grid_spec = pl.GridSpec(
         grid=(NB, A),
