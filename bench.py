@@ -18,7 +18,7 @@ import jax.numpy as jnp
 BASELINE_FPS = 180_000.
 
 
-def build(n_envs, res=256, subsample=4, kind='explorer'):
+def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3):
     from megastep_tpu import floorplans
     from megastep_tpu.envs import Deathmatch, Explorer
     if kind == 'deathmatch':
@@ -28,10 +28,11 @@ def build(n_envs, res=256, subsample=4, kind='explorer'):
         geoms = floorplans.sample(min(n_scenes, 512))
         geoms = [geoms[i % len(geoms)] for i in range(n_scenes)]
         return Deathmatch(n_envs, n_agents=4, geometries=geoms, res=res,
-                          subsample=subsample)
+                          subsample=subsample, shade_splits=shade_splits)
     geoms = floorplans.sample(min(n_envs, 512))
     geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
-    return Explorer(n_envs, geometries=geoms, res=res, subsample=subsample)
+    return Explorer(n_envs, geometries=geoms, res=res, subsample=subsample,
+                    shade_splits=shade_splits)
 
 
 def bench(env, steps=64, reps=3):
@@ -77,6 +78,9 @@ def main():
     p.add_argument('--steps', type=int, default=64)
     p.add_argument('--kind', choices=['explorer', 'deathmatch'],
                    default='explorer')
+    p.add_argument('--fast', action='store_true',
+                   help='fast shade (2 bf16 table components, ~1.5e-5 '
+                        'relative shade error; default is exact f32)')
     args = p.parse_args()
 
     res = args.res or (512 if args.kind == 'deathmatch' else 256)
@@ -86,7 +90,8 @@ def main():
     import sys
 
     def attempt_once(n):
-        env = build(n, res=res, kind=args.kind)
+        env = build(n, res=res, kind=args.kind,
+                    shade_splits=2 if args.fast else 3)
         return bench(env, steps=args.steps)
 
     n_envs = args.envs
