@@ -21,7 +21,8 @@ from ..dotdict import dotdict
 from ..pytree import pytree
 
 
-@pytree('core', '_rgb', '_depth', '_mover', '_imu', '_respawner', '_table8')
+@pytree('core', '_rgb', '_depth', '_mover', '_imu', '_respawner', '_table8',
+        '_lines_static', '_attrs_static')
 class Explorer:
     """Exploration env over multi-room floorplans: RGB + depth + IMU observations,
     momentum movement, reward per newly-seen texel.
@@ -72,9 +73,25 @@ class Explorer:
             self._groups = fused_ops.size_groups(
                 scenery.lines_width, scenery.tex_width,
                 n_groups=4 if obs_groups is None else obs_groups)
+            # Static observe inputs, skipping the per-step draw: with one agent
+            # every model vertex sits strictly inside the camera near plane
+            # (max ‖vertex‖ = width/2·√1.25 < radius = width/√2), so a drawn
+            # own-model line can never pass the raycast's near < s test — and a
+            # zeroed dynamic slot is rejected identically (the kernel's
+            # all-zero-segment ⇒ parallel ⇒ invalid invariant). Bit-exact with
+            # the drawn path (tests/test_fused.py::test_explorer_static_lines).
+            model_norm = float(np.linalg.norm(
+                np.asarray(scenery.model), axis=-1).max())
+            if scenery.n_agents == 1 and model_norm < self.core.agent_radius:
+                lines0 = scenery.lines.at[:, :scenery.n_dynamic].set(0.)
+                self._lines_static = lines0
+                self._attrs_static = fused_ops.line_attrs(lines0, scenery)
+            else:
+                self._lines_static = self._attrs_static = None
         else:
             self._table8 = None
             self._groups = ()
+            self._lines_static = self._attrs_static = None
 
         self.action_space = self._mover.space
         self.obs_space = dotdict(
@@ -144,10 +161,16 @@ class Explorer:
         from ..ops import render as render_ops
         scn = self.core.scenery
         c = self.core
-        lines_now = render_ops.draw(scn, agents)
+        if self._lines_static is not None:
+            # Single-agent fast path: the own model is unhittable, so the
+            # frame's lines/attrs are the precomputed statics (see __init__).
+            lines_now, attrs = self._lines_static, self._attrs_static
+        else:
+            lines_now = render_ops.draw(scn, agents)
+            attrs = fused_ops.line_attrs(lines_now, scn)
         out = fused_ops.observe_grouped(
             self._groups,
-            lines_now, fused_ops.line_attrs(lines_now, scn), self._table8,
+            lines_now, attrs, self._table8,
             scn.lines_width, agents.angles, agents.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=True,
             interpret=not modules.on_tpu())

@@ -386,3 +386,30 @@ def test_fast_shade_two_splits():
         patch_rows=fused.dynamic_rows(T_dyn, t_pad), interpret=True)
     np.testing.assert_array_equal(np.asarray(fast_rebuild.screen),
                                   np.asarray(fast_patch.screen))
+
+
+def test_explorer_static_lines_bit_exact():
+    """With one agent the own model sits inside the camera near plane, so the
+    fused observe fed *static* lines (dynamic slots zeroed, attrs from the
+    undrawn scenery) is bit-identical to the drawn-lines kernel — the basis of
+    Explorer's skip-draw fast path (envs/explorer.py __init__)."""
+    scn, c, agents = _setup(n_agents=1)
+    assert float(np.linalg.norm(np.asarray(scn.model), axis=-1).max()) \
+        < c.agent_radius
+    args = (scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius)
+    table8 = fused.split_table8(fused.pack_table8(scn), 3)
+
+    lines_drawn = render.draw(scn, agents)
+    drawn = fused.observe(lines_drawn, fused.line_attrs(lines_drawn, scn),
+                          table8, *args, env_block=2, interpret=True)
+    lines0 = scn.lines.at[:, :scn.n_dynamic].set(0.)
+    static = fused.observe(lines0, fused.line_attrs(lines0, scn),
+                           table8, *args, env_block=2, interpret=True)
+
+    for k in ('indices', 'distances', 'screen', 'seen_counts'):
+        np.testing.assert_array_equal(np.asarray(drawn[k]),
+                                      np.asarray(static[k]), err_msg=k)
+    # no ray ever reports a dynamic line
+    assert not ((np.asarray(drawn.indices) >= 0)
+                & (np.asarray(drawn.indices) < scn.n_dynamic)).any()
