@@ -37,7 +37,7 @@ def collapse(x, n_agents):
 
 
 @pytree('core', '_rgb', '_depth', '_imu', '_movement', '_spawner', '_bounds',
-        '_table8')
+        '_table8', '_attrs_static')
 class Deathmatch:
     """Multi-agent combat (see module docstring).
 
@@ -53,7 +53,7 @@ class Deathmatch:
 
     def __init__(self, n_envs, n_agents=4, geometries=None, subsample=4,
                  fused=None, obs_groups=None, sort_scenes=True, shade_splits=3,
-                 **kwargs):
+                 draw_fused=False, **kwargs):
         n_scenes = max(n_envs // n_agents, 1)
         geometries = cubicasa.sample(n_scenes) if geometries is None else geometries
         # Scenes are re-ordered by texel count so the fused observe can run
@@ -93,6 +93,12 @@ class Deathmatch:
         # baked channel), which the kernel patches in VMEM
         # (ops.fused.pack_table8_patch) instead of rebuilding the table.
         self._shade_splits = shade_splits
+        # draw_fused: rotate + translate the agent models inside the observe
+        # kernel (ops.fused.observe(draw_model=...)) instead of an XLA-side
+        # draw over the full line array per step. Bit-exact with the drawn
+        # path (tests/test_fused.py::test_draw_in_kernel_bit_exact); opt-in
+        # until benched on chip.
+        self.draw_fused = draw_fused
         if self._use_fused:
             from ..ops import fused as fused_ops
             # shade_splits=2 is the opt-in fast mode: ~1.5e-5 relative shade
@@ -104,9 +110,11 @@ class Deathmatch:
             self._groups = fused_ops.size_groups(
                 scenery.lines_width, scenery.tex_width,
                 n_groups=4 if obs_groups is None else obs_groups)
+            self._attrs_static = fused_ops.line_attrs(scenery.lines, scenery)
         else:
             self._table8 = None
             self._groups = ()
+            self._attrs_static = None
 
     def _respawn(self, agents, health, damage, reset, key):
         agents = self._spawner(agents, reset, key)
@@ -154,18 +162,21 @@ class Deathmatch:
         mask = (0 <= line_idxs) & (obj_idxs < self.core.n_agents)
         return jnp.where(mask, obj_idxs, -1)
 
-    def _rebake(self, scn, lines_now):
-        """Per-step dynamic-texel re-bake, ridden over the same size buckets as
-        the fused observe: each group's occlusion stream runs over only the
-        group's own (padded) static line count instead of the global max."""
+    def _rebake(self, scn, dyn_lines):
+        """Per-step dynamic-texel re-bake from this frame's drawn agent models
+        (``(N, n_dynamic, 2, 2)``; walls come from the static scenery, which
+        draw never touches), ridden over the same size buckets as the fused
+        observe: each group's occlusion stream runs over only the group's own
+        (padded) static line count instead of the global max."""
         from ..ops import bake
+        nd = scn.n_dynamic
         if len(self._groups) <= 1:
-            return bake.dynamic_texel_intensity(scn, lines_now,
-                                                k_max=self._k_lights)
+            return bake.dynamic_texel_intensity_parts(
+                scn, dyn_lines, scn.lines[:, nd:], k_max=self._k_lights)
         return jnp.concatenate([
-            bake.dynamic_texel_intensity(
-                scn.env_slice(g0, g1), lines_now[g0:g1, :Lg],
-                k_max=self._k_lights)
+            bake.dynamic_texel_intensity_parts(
+                scn.env_slice(g0, g1), dyn_lines[g0:g1],
+                scn.lines[g0:g1, nd:Lg], k_max=self._k_lights)
             for g0, g1, Lg, _ in self._groups])
 
     def _observe_fused(self, agents, health, damage):
@@ -175,8 +186,8 @@ class Deathmatch:
         from ..ops import fused as fused_ops, render as render_ops
         scn = self.core.scenery
         c = self.core
-        lines_now = render_ops.draw(scn, agents)
-        dyn = self._rebake(scn, lines_now)
+        dyn_lines = render_ops.draw_dynamic(scn, agents)
+        dyn = self._rebake(scn, dyn_lines)
         if self._table8 is not None:
             table8 = self._table8
             patch = fused_ops.pack_table8_patch(scn, dyn,
@@ -188,12 +199,22 @@ class Deathmatch:
             # per-frame table rebuild, split in-kernel.
             baked_now = scn.baked.at[:, :scn.n_dynamic_texels].set(dyn)
             table8, patch, rows = fused_ops.pack_table8(scn, baked_now), None, ()
+        if self.draw_fused and self._attrs_static is not None:
+            # In-kernel draw: static lines/attrs in, the kernel rotates the
+            # model slots per agent itself — no per-step full-line-array
+            # update or attrs rebuild.
+            lines_in, attrs_in = scn.lines, self._attrs_static
+            dm = scn.n_model_lines
+        else:
+            lines_in = scn.lines.at[:, :scn.n_dynamic].set(dyn_lines)
+            attrs_in = fused_ops.line_attrs(lines_in, scn)
+            dm = 0
         out = fused_ops.observe_grouped(
             self._groups,
-            lines_now, fused_ops.line_attrs(lines_now, scn), table8,
+            lines_in, attrs_in, table8,
             scn.lines_width, agents.angles, agents.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=False,
-            table_patch=patch, patch_rows=rows,
+            table_patch=patch, patch_rows=rows, draw_model=dm,
             interpret=not modules.on_tpu())
 
         s = self._rgb.subsample

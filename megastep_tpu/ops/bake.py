@@ -163,14 +163,26 @@ def dynamic_texel_intensity(scenery, lines_now, k_max=None):
         computed at env build); slices dead padded light slots off the
         (N, P, K) streams. ``None`` keeps the full padded axis.
     """
+    nd = scenery.n_dynamic
+    return dynamic_texel_intensity_parts(
+        scenery, lines_now[:, :nd], lines_now[:, nd:], k_max=k_max)
+
+
+def dynamic_texel_intensity_parts(scenery, dyn_lines, walls, k_max=None):
+    """:func:`dynamic_texel_intensity` with the line array pre-split into its
+    dynamic head (``(N, n_dynamic, 2, 2)``, this frame's drawn agent models —
+    :func:`megastep_tpu.ops.render.draw_dynamic`) and the static walls
+    (``scenery.lines[:, n_dynamic:]``, which :func:`...render.draw` never
+    touches). Lets in-kernel-draw callers re-bake without materializing the
+    full drawn line array."""
     T = scenery.n_dynamic_texels
     nd = scenery.n_dynamic
     # Dynamic texels live on the dynamic (agent-model) lines, which head the
     # line array — the lookup never needs the wall rows.
-    C = texel_points(lines_now, scenery.tex_line, scenery.line_tex_starts,
+    C = texel_points(dyn_lines, scenery.tex_line, scenery.line_tex_starts,
                      scenery.line_tex_widths, 0, T, l_max=nd)
     # Only static lines occlude — slice them off the front instead of masking
     # (halves the (N, P, K, L) occlusion stream).
     lights = scenery.lights if k_max is None else scenery.lights[:, :k_max]
-    return intensity_at(C, lines_now[:, nd:], scenery.lines_width - nd, 0,
+    return intensity_at(C, walls, scenery.lines_width - nd, 0,
                         lights, scenery.lights_width)

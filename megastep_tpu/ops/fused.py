@@ -164,7 +164,7 @@ def pack_table8_patch(scenery, baked_dyn, splits=3):
 
 
 def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
-                    want_seen, presplit, patch_rows,
+                    want_seen, presplit, patch_rows, draw_model,
                     lines_ref, attrs_ref, table_ref, pose_ref, *rest):
     """One program = ``env_block`` envs × one agent × all ``res`` rays.
 
@@ -233,10 +233,46 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
 
     for e in range(env_block):
         lines = lines_ref[0, e]                                        # (L, 4)
-        ax = lines[:, 0:1]                                             # (L, 1)
-        ay = lines[:, 1:2]
-        vx = lines[:, 2:3] - ax
-        vy = lines[:, 3:4] - ay
+        x0 = lines[:, 0:1]                                             # (L, 1)
+        y0 = lines[:, 1:2]
+        x1 = lines[:, 2:3]
+        y1 = lines[:, 3:4]
+        if draw_model:
+            # In-kernel draw (kernels.cu:297-318): the dynamic head slots of
+            # the *static* line input hold the unrotated tiled agent model
+            # (the scene compiler's layout), which each program rotates +
+            # translates by the owning agent's pose here — replacing the
+            # XLA-side draw + its full-line-array update. Arithmetic matches
+            # render.draw bit-for-bit: endpoints as (cos·x − sin·y) + px, the
+            # direction as the *difference of transformed endpoints*.
+            M = draw_model
+            A = pose_ref.shape[2]
+            n_dyn = A * M
+            owner = iota_l // M                  # static rows: >= A, no match
+            co_c = jnp.zeros((L, 1), jnp.float32)
+            si_c = jnp.zeros((L, 1), jnp.float32)
+            px_c = jnp.zeros((L, 1), jnp.float32)
+            py_c = jnp.zeros((L, 1), jnp.float32)
+            for b in range(A):
+                angb = pose_ref[0, e, b, 0] * (jnp.pi / 180)
+                mb = (owner == b).astype(jnp.float32)
+                co_c = co_c + jnp.cos(angb) * mb
+                si_c = si_c + jnp.sin(angb) * mb
+                px_c = px_c + pose_ref[0, e, b, 1] * mb
+                py_c = py_c + pose_ref[0, e, b, 2] * mb
+            x0d = (co_c * x0 - si_c * y0) + px_c
+            y0d = (si_c * x0 + co_c * y0) + py_c
+            x1d = (co_c * x1 - si_c * y1) + px_c
+            y1d = (si_c * x1 + co_c * y1) + py_c
+            isdyn = iota_l < n_dyn
+            ax = jnp.where(isdyn, x0d, x0)
+            ay = jnp.where(isdyn, y0d, y0)
+            vx = jnp.where(isdyn, x1d - x0d, x1 - x0)
+            vy = jnp.where(isdyn, y1d - y0d, y1 - y0)
+        else:
+            ax, ay = x0, y0
+            vx = x1 - x0
+            vy = y1 - y0
         # No explicit liveness mask: padded line slots are all-zero segments,
         # so uxv == 0 -> parallel -> sq = inf -> invalid, identically to the
         # jnp reference's width mask (pays for itself: one (L, R) AND less).
@@ -282,8 +318,17 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         # Winner attributes in one exact MXU product: (4, L) @ (L, R).
         attr = jnp.dot(attrs_ref[0, e], onehot.astype(jnp.float32),
                        preferred_element_type=jnp.float32, precision=HI)
-        sel_vx = attr[0:1]                                             # (1, R)
-        sel_vy = attr[1:2]
+        if draw_model:
+            # The static attrs rows hold *unrotated* model directions for the
+            # dynamic slots — read the winner's direction off the in-kernel
+            # drawn columns instead (exactly one non-inf lane, like s_sel).
+            sel_vx = jnp.min(jnp.where(onehot, vx, jnp.inf),
+                             axis=0, keepdims=True)                    # (1, R)
+            sel_vy = jnp.min(jnp.where(onehot, vy, jnp.inf),
+                             axis=0, keepdims=True)
+        else:
+            sel_vx = attr[0:1]                                         # (1, R)
+            sel_vy = attr[1:2]
         start = attr[2:3]
         tw = attr[3:4]
 
@@ -373,13 +418,15 @@ def default_env_block(n_envs, n_lines=64, res=256, n_blocks=16):
 
 @partial(jax.jit, static_argnames=('res', 'half_screen_width', 'agent_radius',
                                    'want_seen', 'env_block', 'patch_rows',
-                                   'interpret'))
+                                   'draw_model', 'interpret'))
 def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
             half_screen_width, agent_radius, want_seen=True, env_block=None,
-            table_patch=None, patch_rows=(), interpret=False):
+            table_patch=None, patch_rows=(), draw_model=0, interpret=False):
     """Fused raycast + shade (+ seen counts) over the whole env batch.
 
-    :param lines_now: (N, L, 2, 2) this frame's lines (after :func:`render.draw`).
+    :param lines_now: (N, L, 2, 2) this frame's lines (after :func:`render.draw`);
+        with ``draw_model`` set, the *static* ``scenery.lines`` instead (whose
+        dynamic head slots hold the unrotated tiled agent model).
     :param attrs: (N, 4, L) from :func:`line_attrs`.
     :param lines_width: (N,) true line counts. Unused by the kernel — padded
         line slots are all-zero segments, which the raycast's parallel test
@@ -398,6 +445,12 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         ``patch_rows``.
     :param patch_rows: static row indices for ``table_patch``
         (:func:`dynamic_rows`).
+    :param draw_model: lines per agent model (``scenery.n_model_lines``) to
+        enable in-kernel draw: the kernel rotates + translates the dynamic
+        head slots by each agent's pose itself, so callers skip
+        :func:`render.draw`/:func:`line_attrs` per step and pass static
+        inputs. 0 (default) = lines are pre-drawn. Bit-exact with the drawn
+        path (tests/test_fused.py::test_draw_in_kernel_bit_exact).
     :return: arrdict with ``indices`` (N, A, R) i32, ``distances`` (N, A, R),
         ``screen`` (N, A, 3, R), and (if ``want_seen``) ``seen_counts``
         (N, B*128) — slice to the scenery's T texels.
@@ -430,7 +483,8 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         operands.append(table_patch.reshape(NB, E, S, P, LO_WIDTH))
 
     kernel = partial(_observe_kernel, res, E, B, float(half_screen_width),
-                     float(agent_radius), want_seen, presplit, patch_rows)
+                     float(agent_radius), want_seen, presplit, patch_rows,
+                     draw_model)
     out_shape = [
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.int32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
@@ -526,7 +580,7 @@ def size_groups(lines_width, tex_width, n_groups=4, gran=64):
 def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                     positions, res, half_screen_width, agent_radius,
                     want_seen=True, env_block=None, table_patch=None,
-                    patch_rows=(), interpret=False):
+                    patch_rows=(), draw_model=0, interpret=False):
     """:func:`observe` over size-sorted env buckets (:func:`size_groups`): each
     contiguous group runs the kernel with lines/table sliced to the group's own
     padded sizes, and the results concatenate back along the env axis. Safe
@@ -542,7 +596,7 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                        positions, res, half_screen_width, agent_radius,
                        want_seen=want_seen, env_block=env_block,
                        table_patch=table_patch, patch_rows=patch_rows,
-                       interpret=interpret)
+                       draw_model=draw_model, interpret=interpret)
     presplit = table8.ndim == 4
     B = table8.shape[-2] // 8
     outs = []
@@ -560,7 +614,7 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
             lines_width[g0:g1], angles[g0:g1], positions[g0:g1], res,
             half_screen_width, agent_radius, want_seen=want_seen,
             env_block=env_block, table_patch=pg, patch_rows=rg,
-            interpret=interpret))
+            draw_model=draw_model, interpret=interpret))
     out = arrdict(
         indices=jnp.concatenate([o.indices for o in outs]),
         distances=jnp.concatenate([o.distances for o in outs]),

@@ -30,16 +30,22 @@ def ray_y(res, dtype=jnp.float32):
     return (res - 2 * r - 1) / res
 
 
+def draw_dynamic(scenery, agents):
+    """Just the rotated+translated agent-model lines, (N, n_dynamic, 2, 2) —
+    the part of :func:`draw` the dynamic re-bake needs; lets callers that draw
+    in-kernel (``ops.fused.observe(draw_model=...)``) skip the full-line-array
+    update."""
+    # (N, A, 1, 1, 2) poses against (M, 2, 2) model.
+    rotated = geom.rotate(agents.angles[..., None, None], scenery.model)
+    dyn = rotated + agents.positions[:, :, None, None, :]
+    return dyn.reshape(dyn.shape[0], scenery.n_dynamic, 2, 2)
+
+
 def draw(scenery, agents):
     """Writes the rotated+translated agent models into the dynamic head slots of the
     line array (``draw_kernel``, ``kernels.cu:297-318``). Returns the full (N, L, 2, 2)
     line array for this frame."""
-    # (N, A, 1, 1, 2) poses against (M, 2, 2) model.
-    rotated = geom.rotate(agents.angles[..., None, None], scenery.model)
-    dyn = rotated + agents.positions[:, :, None, None, :]
-    N = dyn.shape[0]
-    dyn = dyn.reshape(N, scenery.n_dynamic, 2, 2)
-    return scenery.lines.at[:, :scenery.n_dynamic].set(dyn)
+    return scenery.lines.at[:, :scenery.n_dynamic].set(draw_dynamic(scenery, agents))
 
 
 def raycast(lines_now, lines_width, angles, positions, res, half_screen_width,

@@ -413,3 +413,57 @@ def test_explorer_static_lines_bit_exact():
     # no ray ever reports a dynamic line
     assert not ((np.asarray(drawn.indices) >= 0)
                 & (np.asarray(drawn.indices) < scn.n_dynamic)).any()
+
+
+def test_draw_in_kernel_bit_exact():
+    """observe(draw_model=M) fed the *static* scenery lines/attrs rotates the
+    agent models in-kernel and must be bit-identical to the kernel fed
+    XLA-drawn lines (multi-agent, so other agents' models are genuinely
+    visible and win rays)."""
+    scn, c, agents = _setup(n_agents=2)
+    args = (scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius)
+    table8 = fused.split_table8(fused.pack_table8(scn), 3)
+
+    lines_drawn = render.draw(scn, agents)
+    drawn = fused.observe(lines_drawn, fused.line_attrs(lines_drawn, scn),
+                          table8, *args, env_block=2, interpret=True)
+    kernel_drawn = fused.observe(scn.lines, fused.line_attrs(scn.lines, scn),
+                                 table8, *args, env_block=2,
+                                 draw_model=scn.n_model_lines, interpret=True)
+
+    # other agents' models must actually be visible in this fixture
+    assert ((np.asarray(drawn.indices) >= 0)
+            & (np.asarray(drawn.indices) < scn.n_dynamic)).any()
+    for k in ('indices', 'distances', 'screen', 'seen_counts'):
+        np.testing.assert_array_equal(np.asarray(drawn[k]),
+                                      np.asarray(kernel_drawn[k]), err_msg=k)
+
+
+def test_deathmatch_draw_fused_bit_exact():
+    """Deathmatch with in-kernel draw (draw_fused=True) steps *bit-identically*
+    to the fused path with XLA-side draw: same obs, shooting, health."""
+    from megastep_tpu.envs import Deathmatch
+    from megastep_tpu.arrdict import arrdict
+
+    geoms = floorplans.sample(2)
+    key = jax.random.PRNGKey(3)
+    envs = []
+    for d in (False, True):
+        np.random.seed(11)
+        envs.append(Deathmatch(8, n_agents=4, geometries=geoms, res=128,
+                               subsample=4, fused=True, draw_fused=d))
+    states, worlds = zip(*[e.reset(key) for e in envs])
+
+    for t in range(3):
+        k = jax.random.fold_in(key, t)
+        actions = jax.random.randint(k, (8, 1), 0, 7)
+        outs = [e.step(s, arrdict(actions=actions), k)
+                for e, s in zip(envs, states)]
+        states = [o[0] for o in outs]
+        worlds = [o[1] for o in outs]
+
+    for get in (lambda i: states[i].matchings, lambda i: states[i].health,
+                lambda i: worlds[i].reward, lambda i: worlds[i].obs.rgb,
+                lambda i: worlds[i].obs.d):
+        np.testing.assert_array_equal(np.asarray(get(0)), np.asarray(get(1)))
