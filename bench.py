@@ -18,7 +18,8 @@ import jax.numpy as jnp
 BASELINE_FPS = 180_000.
 
 
-def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3):
+def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3,
+          draw_fused=False):
     from megastep_tpu import floorplans
     from megastep_tpu.envs import Deathmatch, Explorer
     if kind == 'deathmatch':
@@ -28,7 +29,8 @@ def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3):
         geoms = floorplans.sample(min(n_scenes, 512))
         geoms = [geoms[i % len(geoms)] for i in range(n_scenes)]
         return Deathmatch(n_envs, n_agents=4, geometries=geoms, res=res,
-                          subsample=subsample, shade_splits=shade_splits)
+                          subsample=subsample, shade_splits=shade_splits,
+                          draw_fused=draw_fused)
     geoms = floorplans.sample(min(n_envs, 512))
     geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
     return Explorer(n_envs, geometries=geoms, res=res, subsample=subsample,
@@ -81,6 +83,9 @@ def main():
     p.add_argument('--fast', action='store_true',
                    help='fast shade (2 bf16 table components, ~1.5e-5 '
                         'relative shade error; default is exact f32)')
+    p.add_argument('--draw-fused', action='store_true',
+                   help='deathmatch: rotate agent models inside the observe '
+                        'kernel (bit-exact; skips the XLA-side draw)')
     args = p.parse_args()
 
     res = args.res or (512 if args.kind == 'deathmatch' else 256)
@@ -91,7 +96,8 @@ def main():
 
     def attempt_once(n):
         env = build(n, res=res, kind=args.kind,
-                    shade_splits=2 if args.fast else 3)
+                    shade_splits=2 if args.fast else 3,
+                    draw_fused=args.draw_fused)
         return bench(env, steps=args.steps)
 
     n_envs = args.envs
