@@ -163,17 +163,21 @@ class Explorer:
         c = self.core
         if self._lines_static is not None:
             # Single-agent fast path: the own model is unhittable, so the
-            # frame's lines/attrs are the precomputed statics (see __init__).
+            # frame's lines/attrs are the precomputed statics (see __init__)
+            # and the zeroed dynamic slots are sliced out of the raycast
+            # entirely (skip_dyn rebases the reported indices).
             lines_now, attrs = self._lines_static, self._attrs_static
+            skip = scn.n_dynamic
         else:
             lines_now = render_ops.draw(scn, agents)
             attrs = fused_ops.line_attrs(lines_now, scn)
+            skip = 0
         out = fused_ops.observe_grouped(
             self._groups,
             lines_now, attrs, self._table8,
             scn.lines_width, agents.angles, agents.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=True,
-            interpret=not modules.on_tpu())
+            skip_dyn=skip, interpret=not modules.on_tpu())
 
         s = self._rgb.subsample
         rgb, d = modules.fused_obs(out, s, c.agent_radius, self._depth.max_depth)

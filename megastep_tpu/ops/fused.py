@@ -164,7 +164,7 @@ def pack_table8_patch(scenery, baked_dyn, splits=3):
 
 
 def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
-                    want_seen, presplit, patch_rows, draw_model,
+                    want_seen, presplit, patch_rows, draw_model, idx_base,
                     lines_ref, attrs_ref, table_ref, pose_ref, *rest):
     """One program = ``env_block`` envs × one agent × all ``res`` rays.
 
@@ -376,7 +376,10 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         color = lw * tap_l[0:3] + rw * tap_r[0:3]                      # (3, R)
         screen = jnp.where(found, shadefac * color, 0.)
 
-        idx_ref[0, 0, e:e + 1, :] = jnp.where(found, idx, -1).astype(jnp.int32)
+        # idx_base rebases sliced-off leading line slots (the skip_dyn mode)
+        # so reported indices stay in the full line array's id space.
+        idx_ref[0, 0, e:e + 1, :] = jnp.where(found, idx + idx_base,
+                                              -1).astype(jnp.int32)
         dist_ref[0, 0, e:e + 1, :] = jnp.where(found, s_sel, jnp.inf) * rlen
         r_ref[0, 0, e:e + 1, :] = screen[0:1]
         g_ref[0, 0, e:e + 1, :] = screen[1:2]
@@ -418,10 +421,11 @@ def default_env_block(n_envs, n_lines=64, res=256, n_blocks=16):
 
 @partial(jax.jit, static_argnames=('res', 'half_screen_width', 'agent_radius',
                                    'want_seen', 'env_block', 'patch_rows',
-                                   'draw_model', 'interpret'))
+                                   'draw_model', 'skip_dyn', 'interpret'))
 def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
             half_screen_width, agent_radius, want_seen=True, env_block=None,
-            table_patch=None, patch_rows=(), draw_model=0, interpret=False):
+            table_patch=None, patch_rows=(), draw_model=0, skip_dyn=0,
+            interpret=False):
     """Fused raycast + shade (+ seen counts) over the whole env batch.
 
     :param lines_now: (N, L, 2, 2) this frame's lines (after :func:`render.draw`);
@@ -451,11 +455,23 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         :func:`render.draw`/:func:`line_attrs` per step and pass static
         inputs. 0 (default) = lines are pre-drawn. Bit-exact with the drawn
         path (tests/test_fused.py::test_draw_in_kernel_bit_exact).
+    :param skip_dyn: slice this many leading line slots out of the raycast
+        (indices are rebased so outputs stay in the full id space). For
+        single-agent envs whose dynamic slots are zeroed (Explorer's
+        skip-draw path) those rows can never win a ray, so dropping them cuts
+        the (L, R) raycast chain by ``n_dynamic/L`` bit-exactly. Mutually
+        exclusive with ``draw_model``.
     :return: arrdict with ``indices`` (N, A, R) i32, ``distances`` (N, A, R),
         ``screen`` (N, A, 3, R), and (if ``want_seen``) ``seen_counts``
         (N, B*128) — slice to the scenery's T texels.
     """
     N, A = angles.shape
+    if skip_dyn:
+        if draw_model:
+            raise ValueError('skip_dyn slices off the very slots draw_model '
+                             'would draw into')
+        lines_now = lines_now[:, skip_dyn:]
+        attrs = attrs[:, :, skip_dyn:]
     L = lines_now.shape[1]
     presplit = table8.ndim == 4
     if (table_patch is None) != (len(patch_rows) == 0):
@@ -484,7 +500,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
 
     kernel = partial(_observe_kernel, res, E, B, float(half_screen_width),
                      float(agent_radius), want_seen, presplit, patch_rows,
-                     draw_model)
+                     draw_model, skip_dyn)
     out_shape = [
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.int32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
@@ -580,7 +596,7 @@ def size_groups(lines_width, tex_width, n_groups=4, gran=64):
 def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                     positions, res, half_screen_width, agent_radius,
                     want_seen=True, env_block=None, table_patch=None,
-                    patch_rows=(), draw_model=0, interpret=False):
+                    patch_rows=(), draw_model=0, skip_dyn=0, interpret=False):
     """:func:`observe` over size-sorted env buckets (:func:`size_groups`): each
     contiguous group runs the kernel with lines/table sliced to the group's own
     padded sizes, and the results concatenate back along the env axis. Safe
@@ -596,7 +612,8 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                        positions, res, half_screen_width, agent_radius,
                        want_seen=want_seen, env_block=env_block,
                        table_patch=table_patch, patch_rows=patch_rows,
-                       draw_model=draw_model, interpret=interpret)
+                       draw_model=draw_model, skip_dyn=skip_dyn,
+                       interpret=interpret)
     presplit = table8.ndim == 4
     B = table8.shape[-2] // 8
     outs = []
@@ -614,7 +631,7 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
             lines_width[g0:g1], angles[g0:g1], positions[g0:g1], res,
             half_screen_width, agent_radius, want_seen=want_seen,
             env_block=env_block, table_patch=pg, patch_rows=rg,
-            draw_model=draw_model, interpret=interpret))
+            draw_model=draw_model, skip_dyn=skip_dyn, interpret=interpret))
     out = arrdict(
         indices=jnp.concatenate([o.indices for o in outs]),
         distances=jnp.concatenate([o.distances for o in outs]),

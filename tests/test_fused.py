@@ -406,10 +406,17 @@ def test_explorer_static_lines_bit_exact():
     lines0 = scn.lines.at[:, :scn.n_dynamic].set(0.)
     static = fused.observe(lines0, fused.line_attrs(lines0, scn),
                            table8, *args, env_block=2, interpret=True)
+    # ... and with the zeroed slots sliced out of the raycast entirely
+    # (skip_dyn), indices rebased into the full id space.
+    sliced = fused.observe(lines0, fused.line_attrs(lines0, scn),
+                           table8, *args, env_block=2,
+                           skip_dyn=scn.n_dynamic, interpret=True)
 
     for k in ('indices', 'distances', 'screen', 'seen_counts'):
         np.testing.assert_array_equal(np.asarray(drawn[k]),
                                       np.asarray(static[k]), err_msg=k)
+        np.testing.assert_array_equal(np.asarray(drawn[k]),
+                                      np.asarray(sliced[k]), err_msg=k)
     # no ray ever reports a dynamic line
     assert not ((np.asarray(drawn.indices) >= 0)
                 & (np.asarray(drawn.indices) < scn.n_dynamic)).any()
