@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 
 def check(n_envs, n_agents, res, geom_kw, tag, presplit=True, grouped=False,
-          patched=False):
+          patched=False, draw_mode=None):
     from megastep_tpu import core, floorplans, scene
     from megastep_tpu.ops import fused, render
 
@@ -52,8 +52,21 @@ def check(n_envs, n_agents, res, geom_kw, tag, presplit=True, grouped=False,
         table = fused.split_table8(table)
     groups = (fused.size_groups(scn.lines_width, scn.tex_width, gran=8)
               if grouped else ())
+    if draw_mode == 'kernel':
+        # In-kernel draw: compiled Mosaic scalar trig must reproduce the
+        # XLA draw's rotation bits (the same class of contract as the
+        # ray-direction trig, but worth its own on-chip gate).
+        lines_in = scn.lines
+        attrs_in = fused.line_attrs(scn.lines, scn)
+        kw.update(draw_model=scn.n_model_lines)
+    elif draw_mode == 'skip':
+        lines_in = scn.lines.at[:, :scn.n_dynamic].set(0.)
+        attrs_in = fused.line_attrs(lines_in, scn)
+        kw.update(skip_dyn=scn.n_dynamic)
+    else:
+        lines_in, attrs_in = lines_now, fused.line_attrs(lines_now, scn)
     out = fused.observe_grouped(
-        groups, lines_now, fused.line_attrs(lines_now, scn), table,
+        groups, lines_in, attrs_in, table,
         scn.lines_width, agents.angles, agents.positions, res,
         c.half_screen_width, c.agent_radius, **kw)
 
@@ -101,4 +114,8 @@ if __name__ == '__main__':
     check(256, 1, 256, {}, 'grouped', grouped=True)
     # In-kernel dynamic-row patching (the Deathmatch re-bake path), grouped.
     check(64, 4, 512, {}, 'patched-grouped', grouped=True, patched=True)
+    # In-kernel agent-model draw (Deathmatch draw_fused) on compiled Mosaic.
+    check(64, 4, 512, {}, 'draw-in-kernel', draw_mode='kernel')
+    # Explorer's skip-draw + sliced raycast (indices rebased) on compiled Mosaic.
+    check(256, 1, 256, {}, 'skip-dyn', draw_mode='skip')
     print('ALL OK (compiled Mosaic kernel matches the split pipeline on TPU)')
