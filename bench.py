@@ -88,6 +88,9 @@ def main():
                         'kernel (bit-exact; skips the XLA-side draw)')
     args = p.parse_args()
 
+    if args.draw_fused and args.kind != 'deathmatch':
+        p.error('--draw-fused only applies to --kind deathmatch (Explorer '
+                'skips the draw automatically)')
     res = args.res or (512 if args.kind == 'deathmatch' else 256)
     baseline = DM_BASELINE_FPS if args.kind == 'deathmatch' else BASELINE_FPS
 

@@ -2,11 +2,14 @@
 the reference's sphinx autodoc pages (``/root/reference/docs/*.rst`` use
 ``automodule``/``autoclass`` over the same surface).
 
-Run: ``JAX_PLATFORMS=cpu python docs/genapi.py`` (writes ``docs/api.md``).
+Run: ``JAX_PLATFORMS=cpu python docs/genapi.py [out.md]`` (default
+``docs/api.md``).
 """
 import importlib
 import inspect
 import pathlib
+import re
+import sys
 
 MODULES = [
     'megastep_tpu.core', 'megastep_tpu.scene', 'megastep_tpu.geometry',
@@ -60,9 +63,12 @@ def public_members(mod):
 
 def signature(obj):
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return '(...)'
+    # Default-value reprs can embed memory addresses (flax sentinels etc.) —
+    # strip them so regeneration is deterministic across runs/machines.
+    return re.sub(r'<([\w.]+)[^>]* at 0x[0-9a-f]+>', r'<\1>', sig)
 
 
 def render_module(name):
@@ -85,7 +91,7 @@ def render_module(name):
     return lines
 
 
-def main():
+def main(path=None):
     out = ['# API reference',
            '',
            '*Generated from docstrings by `docs/genapi.py` — regenerate after '
@@ -93,10 +99,12 @@ def main():
            '']
     for name in MODULES:
         out += render_module(name)
-    path = pathlib.Path(__file__).parent / 'api.md'
+    if path is None:
+        path = pathlib.Path(__file__).parent / 'api.md'
+    path = pathlib.Path(path)
     path.write_text('\n'.join(out))
     print(f'wrote {path} ({len(out)} lines)')
 
 
 if __name__ == '__main__':
-    main()
+    main(*sys.argv[1:2])

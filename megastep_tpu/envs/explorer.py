@@ -76,16 +76,17 @@ class Explorer:
             # Static observe inputs, skipping the per-step draw: with one agent
             # every model vertex sits strictly inside the camera near plane
             # (max ‖vertex‖ = width/2·√1.25 < radius = width/√2), so a drawn
-            # own-model line can never pass the raycast's near < s test — and a
-            # zeroed dynamic slot is rejected identically (the kernel's
-            # all-zero-segment ⇒ parallel ⇒ invalid invariant). Bit-exact with
-            # the drawn path (tests/test_fused.py::test_explorer_static_lines).
+            # own-model line can never pass the raycast's near < s test — the
+            # kernel slices the dynamic slots out entirely (skip_dyn), so the
+            # statics can simply alias the scenery arrays. Bit-exact with the
+            # drawn path
+            # (tests/test_fused.py::test_explorer_static_lines_bit_exact).
             model_norm = float(np.linalg.norm(
                 np.asarray(scenery.model), axis=-1).max())
             if scenery.n_agents == 1 and model_norm < self.core.agent_radius:
-                lines0 = scenery.lines.at[:, :scenery.n_dynamic].set(0.)
-                self._lines_static = lines0
-                self._attrs_static = fused_ops.line_attrs(lines0, scenery)
+                self._lines_static = scenery.lines
+                self._attrs_static = fused_ops.line_attrs(scenery.lines,
+                                                          scenery)
             else:
                 self._lines_static = self._attrs_static = None
         else:
@@ -163,9 +164,10 @@ class Explorer:
         c = self.core
         if self._lines_static is not None:
             # Single-agent fast path: the own model is unhittable, so the
-            # frame's lines/attrs are the precomputed statics (see __init__)
-            # and the zeroed dynamic slots are sliced out of the raycast
-            # entirely (skip_dyn rebases the reported indices).
+            # frame's lines/attrs alias the static scenery (see __init__) and
+            # the dynamic slots are sliced out of the raycast entirely
+            # (skip_dyn rebases the reported indices). skip_dyn MUST stay on
+            # here: the aliased head rows hold the unrotated model, not zeros.
             lines_now, attrs = self._lines_static, self._attrs_static
             skip = scn.n_dynamic
         else:
