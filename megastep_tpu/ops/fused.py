@@ -249,17 +249,20 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
             A = pose_ref.shape[2]
             n_dyn = A * M
             owner = iota_l // M                  # static rows: >= A, no match
-            co_c = jnp.zeros((L, 1), jnp.float32)
-            si_c = jnp.zeros((L, 1), jnp.float32)
+            # Owner pose as (L, 1) columns (A madds each), then ONE vector
+            # cos/sin per env — 2·A scalar transcendentals per program would
+            # tie up the scalar unit for ~µs/env at A=4. Same bits: the
+            # degree scaling and trig match geom.rotate's vectorized ops.
+            ang_c = jnp.zeros((L, 1), jnp.float32)
             px_c = jnp.zeros((L, 1), jnp.float32)
             py_c = jnp.zeros((L, 1), jnp.float32)
             for b in range(A):
-                angb = pose_ref[0, e, b, 0] * (jnp.pi / 180)
                 mb = (owner == b).astype(jnp.float32)
-                co_c = co_c + jnp.cos(angb) * mb
-                si_c = si_c + jnp.sin(angb) * mb
+                ang_c = ang_c + pose_ref[0, e, b, 0] * mb
                 px_c = px_c + pose_ref[0, e, b, 1] * mb
                 py_c = py_c + pose_ref[0, e, b, 2] * mb
+            co_c = jnp.cos(jnp.pi / 180 * ang_c)
+            si_c = jnp.sin(jnp.pi / 180 * ang_c)
             x0d = (co_c * x0 - si_c * y0) + px_c
             y0d = (si_c * x0 + co_c * y0) + py_c
             x1d = (co_c * x1 - si_c * y1) + px_c
