@@ -27,6 +27,11 @@ def main():
     p.add_argument('--env-block', type=int, default=None)
     p.add_argument('--which', default='both', choices=['both', 'split', 'fused'])
     p.add_argument('--no-seen', action='store_true')
+    p.add_argument('--draw-mode', default='xla',
+                   choices=['xla', 'kernel', 'skip'],
+                   help="'kernel' = in-kernel model draw (draw_model), "
+                        "'skip' = static lines with the dynamic slots sliced "
+                        "out (skip_dyn; single-agent only)")
     p.add_argument('--geom-size', type=float, default=None,
                    help='outer floorplan extent (m); ~22 gives cubicasa-scale '
                         '(200+ wall) scenes')
@@ -83,12 +88,22 @@ def main():
     def fused_step(scn, agents, table8, carry, _):
         ag = type(agents)(angles=agents.angles + carry, positions=agents.positions,
                           angvelocity=agents.angvelocity, velocity=agents.velocity)
-        lines_now = render.draw(scn, ag)
+        kw = dict(want_seen=not args.no_seen, env_block=args.env_block)
+        if args.draw_mode == 'kernel':
+            lines_in = scn.lines
+            attrs_in = fused.line_attrs(scn.lines, scn)
+            kw.update(draw_model=scn.n_model_lines)
+        elif args.draw_mode == 'skip':
+            assert args.agents == 1, 'skip mode is single-agent only'
+            lines_in, attrs_in = scn.lines, fused.line_attrs(scn.lines, scn)
+            kw.update(skip_dyn=scn.n_dynamic)
+        else:
+            lines_in = render.draw(scn, ag)
+            attrs_in = fused.line_attrs(lines_in, scn)
         out = fused.observe(
-            lines_now, fused.line_attrs(lines_now, scn), table8,
+            lines_in, attrs_in, table8,
             scn.lines_width, ag.angles, ag.positions, args.res,
-            c.half_screen_width, c.agent_radius, want_seen=not args.no_seen,
-            env_block=args.env_block)
+            c.half_screen_width, c.agent_radius, **kw)
         acc = out.screen.mean() + out.distances.min()
         if not args.no_seen:
             acc = acc + (out.seen_counts > 0).sum()
