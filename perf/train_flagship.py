@@ -3,9 +3,11 @@
 Reference: 8,192 Explorer envs, 32-step buffer, 16,384 batch, 256-wide LSTM,
 Adam(3e-4, amsgrad) behind a norm-100 clip (``megastep/demo/__init__.py:109-116``).
 Runs ``--chunks`` training chunks and reports sustained env-steps/s (actor+learner)
-and the exploration-reward trend. Usage::
+and the reward trend. Usage::
 
     python perf/train_flagship.py --chunks 200
+    python perf/train_flagship.py --kind deathmatch --envs 4096 --batch 8192 \
+        --chunks 100   # the PERF.md Deathmatch training demo (agent-steps/s)
 """
 import argparse
 import os
@@ -25,16 +27,27 @@ def main():
     p.add_argument('--buffer', type=int, default=32)
     p.add_argument('--batch', type=int, default=16 * 1024)
     p.add_argument('--width', type=int, default=256)
+    p.add_argument('--kind', choices=['explorer', 'deathmatch'],
+                   default='explorer')
+    p.add_argument('--draw-fused', action='store_true',
+                   help='deathmatch: in-kernel agent-model draw (bit-exact)')
     args = p.parse_args()
 
     from megastep_tpu import floorplans
-    from megastep_tpu.envs import Explorer
+    from megastep_tpu.envs import Deathmatch, Explorer
     from megastep_tpu.models import Agent
     from megastep_tpu.demo.train import init_carry, make_train_step, optimizer
 
-    geoms = floorplans.sample(min(args.envs, 512))
-    geoms = [geoms[i % len(geoms)] for i in range(args.envs)]
-    env = Explorer(args.envs, geometries=geoms)
+    if args.kind == 'deathmatch':
+        n_scenes = max(args.envs // 4, 1)
+        geoms = floorplans.sample(min(n_scenes, 512))
+        geoms = [geoms[i % len(geoms)] for i in range(n_scenes)]
+        env = Deathmatch(args.envs, n_agents=4, geometries=geoms,
+                         draw_fused=args.draw_fused)
+    else:
+        geoms = floorplans.sample(min(args.envs, 512))
+        geoms = [geoms[i % len(geoms)] for i in range(args.envs)]
+        env = Explorer(args.envs, geometries=geoms)
     agent = Agent(env.obs_space, env.action_space, width=args.width)
     opt = optimizer()
 
