@@ -141,6 +141,12 @@ def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
     n_envs = env.n_envs
     batch_width = max(batch_size // buffer_size, 1)
     n_batches = n_envs // batch_width
+    if n_batches < 1:
+        raise ValueError(
+            f'batch_size // buffer_size = {batch_width} env columns per '
+            f'minibatch exceeds n_envs = {n_envs}: the learner would run '
+            f'ZERO minibatches (and silently never train). Lower batch_size '
+            f'or raise n_envs.')
 
     def step(env, carry, key):
         k_roll, k_perm = jax.random.split(key)

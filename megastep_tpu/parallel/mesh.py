@@ -119,12 +119,13 @@ def make_sharded_train_step(env, agent, opt, m, donate=True, **kwargs):
     return compile_for
 
 
-def init_sharded(env, agent, opt, key, m):
+def init_sharded(env, agent, opt, key, m, **kwargs):
     """Initializes a carry and places env + carry on the mesh. Returns
-    ``(env, carry, step_fn)`` ready to run as ``step_fn(env, carry, key)``."""
+    ``(env, carry, step_fn)`` ready to run as ``step_fn(env, carry, key)``.
+    ``kwargs`` (buffer_size, batch_size, ...) reach ``make_train_step``."""
     from ..demo.train import init_carry
     carry = init_carry(env, agent, opt, key)
     carry = place_carry(carry, m)
     env = place_env(env, m)
-    step = make_sharded_train_step(env, agent, opt, m)(carry)
+    step = make_sharded_train_step(env, agent, opt, m, **kwargs)(carry)
     return env, carry, step
