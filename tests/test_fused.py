@@ -474,3 +474,64 @@ def test_deathmatch_draw_fused_bit_exact():
                 lambda i: worlds[i].reward, lambda i: worlds[i].obs.rgb,
                 lambda i: worlds[i].obs.d):
         np.testing.assert_array_equal(np.asarray(get(0)), np.asarray(get(1)))
+
+
+def test_grouped_composes_with_skip_dyn_and_draw_model():
+    """Size-bucketed observe composes with the two in-kernel draw modes:
+    per-group L slicing happens before the skip_dyn head slice / model
+    rotation, and outputs match the ungrouped kernels exactly."""
+    # single-agent + skip_dyn
+    geoms = floorplans.sample(3) + [toys.box()]
+    geoms = scene.sort_by_size(geoms, 1)
+    scn = scene.scenery(geoms, n_agents=1, random=np.random.RandomState(5))
+    c = core.Core(scn, res=64, fov=130)
+    agents = c.init_agents()
+    key = jax.random.PRNGKey(4)
+    agents['positions'] = 2.5 + 2 * jax.random.uniform(key, agents.positions.shape)
+    agents['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
+    attrs = fused.line_attrs(scn.lines, scn)
+    table = fused.split_table8(fused.pack_table8(scn))
+    args = (scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius)
+    groups = fused.size_groups(scn.lines_width, scn.tex_width,
+                               n_groups=2, gran=2)
+    assert len(groups) == 2
+    full = fused.observe(scn.lines, attrs, table, *args, env_block=2,
+                         skip_dyn=scn.n_dynamic, interpret=True)
+    grouped = fused.observe_grouped(groups, scn.lines, attrs, table, *args,
+                                    env_block=2, skip_dyn=scn.n_dynamic,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(full.indices),
+                                  np.asarray(grouped.indices))
+    np.testing.assert_allclose(np.asarray(full.distances),
+                               np.asarray(grouped.distances), rtol=2e-6)
+    np.testing.assert_array_equal(np.asarray(full.seen_counts),
+                                  np.asarray(grouped.seen_counts))
+
+    # multi-agent + draw_model
+    geoms2 = scene.sort_by_size(geoms, 2)
+    scn2 = scene.scenery(geoms2, n_agents=2, random=np.random.RandomState(5))
+    c2 = core.Core(scn2, res=64, fov=130)
+    ag2 = c2.init_agents()
+    ag2['positions'] = 2.5 + 2 * jax.random.uniform(key, ag2.positions.shape)
+    ag2['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 2), ag2.angles.shape, minval=-180, maxval=180)
+    attrs2 = fused.line_attrs(scn2.lines, scn2)
+    table2 = fused.split_table8(fused.pack_table8(scn2))
+    args2 = (scn2.lines_width, ag2.angles, ag2.positions, c2.res,
+             c2.half_screen_width, c2.agent_radius)
+    groups2 = fused.size_groups(scn2.lines_width, scn2.tex_width,
+                                n_groups=2, gran=2)
+    full2 = fused.observe(scn2.lines, attrs2, table2, *args2, env_block=2,
+                          want_seen=False, draw_model=scn2.n_model_lines,
+                          interpret=True)
+    grouped2 = fused.observe_grouped(groups2, scn2.lines, attrs2, table2,
+                                     *args2, env_block=2, want_seen=False,
+                                     draw_model=scn2.n_model_lines,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(full2.indices),
+                                  np.asarray(grouped2.indices))
+    np.testing.assert_allclose(np.asarray(full2.screen),
+                               np.asarray(grouped2.screen), rtol=2e-6,
+                               atol=1e-6)
