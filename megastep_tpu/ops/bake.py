@@ -121,9 +121,13 @@ def intensity_at(points, lines, lines_width, n_dynamic, lights, lights_width,
     return jnp.minimum(total, 1.)
 
 
-@partial(jax.jit, static_argnames=('n_dynamic', 't0', 'T'))
+@partial(jax.jit, static_argnames=('n_dynamic', 'T'))
 def _bake_chunk(lines, lines_width, lights, lights_width, tex_line,
                 line_tex_starts, line_tex_widths, n_dynamic, t0, T):
+    # t0 is traced (texel_points only dynamic-slices with it), so all
+    # uniform-T chunks share ONE compile — a static t0 recompiled per texel
+    # chunk, which at build time through the remote-compile tunnel dominated
+    # scenery construction.
     C = texel_points(lines, tex_line, line_tex_starts, line_tex_widths, t0, T)
     return intensity_at(C, lines, lines_width, n_dynamic, lights, lights_width)
 
