@@ -81,10 +81,18 @@ def intensity_at(points, lines, lines_width, n_dynamic, lights, lights_width,
     K = lights.shape[1]
     L = lines.shape[1]
 
-    I = lights[:, None, :, :2]                                            # (N, 1, K, 2)
-    Ii = lights[:, None, :, 2]                                            # (N, 1, K)
-    C = points[:, :, None]                                                # (N, P, 1, 2)
-    U = C - I                                                             # (N, P, K, 2)
+    # Planar components throughout (no stacked (..., 2) point arrays): the
+    # (N, P, K, chunk) occlusion intermediates are the big streams here, and
+    # a materialized (..., 2)-minormost array would pad its last tile
+    # dimension 64× on TPU. Same per-element arithmetic as geom.intersect —
+    # bit-identical results.
+    Ix = lights[:, None, :, 0]                                            # (N, 1, K)
+    Iy = lights[:, None, :, 1]
+    Ii = lights[:, None, :, 2]
+    Cx = points[:, :, None, 0]                                            # (N, P, 1)
+    Cy = points[:, :, None, 1]
+    Ux = Cx - Ix                                                          # (N, P, K)
+    Uy = Cy - Iy
 
     light_idx = jnp.arange(K)[None, None]
     light_live = light_idx < lights_width[:, None, None]                  # (N, 1, K)
@@ -102,9 +110,20 @@ def intensity_at(points, lines, lines_width, n_dynamic, lights, lights_width,
     def body(carry, args):
         obstructed = carry
         seg, c0 = args
-        a = seg[:, None, None, :, 0]                                      # (N,1,1,c,2)
-        v = seg[:, None, None, :, 1] - a
-        s, t = geom.intersect(I[..., None, :], U[..., None, :], a, v)     # (N,P,K,c)
+        ax = seg[:, None, None, :, 0, 0]                                  # (N,1,1,c)
+        ay = seg[:, None, None, :, 0, 1]
+        vx = seg[:, None, None, :, 1, 0] - ax
+        vy = seg[:, None, None, :, 1, 1] - ay
+        # geom.intersect(I, U, a, v), planar over (N, P, K, c).
+        ux = Ux[..., None]
+        uy = Uy[..., None]
+        uxv = ux * vy - uy * vx
+        pqx = ax - Ix[..., None]
+        pqy = ay - Iy[..., None]
+        distant = jnp.abs(uxv) < geom.PARALLEL_EPS
+        safe = jnp.where(distant, 1., uxv)
+        s = jnp.where(distant, jnp.inf, (pqx * vy - pqy * vx) / safe)
+        t = jnp.where(distant, jnp.inf, (pqx * uy - pqy * ux) / safe)
         l_idx = c0 + jnp.arange(chunk)[None, None, None]
         static = (l_idx >= n_dynamic) & (l_idx < lines_width[:, None, None, None])
         blocked = (t > 0.) & (t < 1.) & (s > 0.) & (s < .999) & static
@@ -114,7 +133,7 @@ def intensity_at(points, lines, lines_width, n_dynamic, lights, lights_width,
     obstructed0 = jnp.zeros((N, P, K), bool)
     obstructed, _ = jax.lax.scan(body, obstructed0, (lines_c, chunk_starts))
 
-    d2 = ((I - C)**2).sum(-1)                                             # (N, P, K)
+    d2 = (Ix - Cx)**2 + (Iy - Cy)**2                                      # (N, P, K)
     contrib = constants.LUMINANCE * Ii / jnp.maximum(d2, 1.)
     lit = (~obstructed) & light_live
     total = constants.AMBIENT + jnp.where(lit, contrib, 0.).sum(-1)
