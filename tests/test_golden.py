@@ -122,3 +122,45 @@ def test_golden_momentum_floorplan():
     np.testing.assert_allclose(np.where(np.isfinite(d), d, 0).mean(), 3.2505078,
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(r.screen).sum(), 25.021202, rtol=1e-4)
+
+
+def test_golden_env_traces():
+    """Frozen end-to-end env traces through the FUSED observe path (interpret
+    mode): Explorer per-step summed rewards and Deathmatch min-health over a
+    fixed action stream. These freeze the full step composition — movement,
+    physics, spawns, fused raycast/shade, reward/health bookkeeping — so any
+    arithmetic change anywhere in the step shows up here."""
+    from megastep_tpu import floorplans
+    from megastep_tpu.envs import Deathmatch, Explorer
+
+    key = jax.random.PRNGKey(0)
+    env = Explorer(2, geometries=floorplans.sample(2), res=64, subsample=4,
+                   fused=True)
+    state, _ = env.reset(key)
+
+    def estep(st, k):
+        st, w = env.step(
+            st, arrdict(actions=jax.random.randint(k, (2, 1), 0, 7)), k)
+        return st, w.reward.sum()
+
+    _, rews = jax.jit(lambda s, ks: jax.lax.scan(estep, s, ks))(
+        state, jax.random.split(key, 5))
+    np.testing.assert_array_equal(
+        np.asarray(rews), np.float32([4.9375, 2.625, 1., 1.6875, 2.125]))
+
+    np.random.seed(3)
+    dm = Deathmatch(8, n_agents=4, geometries=floorplans.sample(2), res=128,
+                    subsample=4, fused=True, draw_fused=True)
+    dstate, _ = dm.reset(key)
+
+    def dstep(st, k):
+        st, w = dm.step(
+            st, arrdict(actions=jax.random.randint(k, (8, 1), 0, 7)), k)
+        return st, st.health.min()
+
+    _, hmin = jax.jit(lambda s, ks: jax.lax.scan(dstep, s, ks))(
+        dstate, jax.random.split(key, 6))
+    np.testing.assert_allclose(
+        np.asarray(hmin),
+        [0.948, 0.947, 0.94600004, 0.94500005, 0.94400007, 0.9430001],
+        rtol=0, atol=1e-7)
