@@ -10,12 +10,59 @@ vs_baseline is the multiple of the reference's 180k FPS.
 """
 import argparse
 import json
+import signal
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 BASELINE_FPS = 180_000.
+
+#: Exit code for "the accelerator backend is unreachable" — distinct from a
+#: crash (1) or the driver's timeout (124), so an outage yields a diagnosable
+#: BENCH capture in seconds instead of burning the driver's whole window.
+EXIT_BACKEND_DOWN = 3
+
+
+def _bail_backend_down(stage, exc):
+    print(json.dumps({
+        'metric': 'backend_unavailable',
+        'value': 0,
+        'unit': 'steps/s',
+        'vs_baseline': 0.0,
+        'error': f'{stage}: {type(exc).__name__}: {str(exc)[:300]}'}))
+    sys.exit(EXIT_BACKEND_DOWN)
+
+
+def _looks_backend_down(exc):
+    s = str(exc)
+    return ('Unable to initialize backend' in s
+            or 'UNAVAILABLE' in s
+            or 'DEADLINE_EXCEEDED' in s)
+
+
+def probe_backend(deadline_s=240):
+    """Touch the backend once, under a hard alarm, before any expensive work.
+
+    When the axon tunnel is down, ``jax.devices()`` either raises UNAVAILABLE
+    after ~1-2 min or wedges; both must turn into a fast, distinct exit rather
+    than the retry/halve loop (round 2's capture died rc=124 this way).
+    """
+    def _on_alarm(signum, frame):
+        raise TimeoutError(f'backend probe exceeded {deadline_s}s')
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(deadline_s)
+    try:
+        devs = jax.devices()
+        # A trivial dispatch proves the tunnel routes, not just enumerates.
+        jnp.zeros(8).sum().block_until_ready()
+        return devs
+    except Exception as e:  # noqa: BLE001 — any init failure means "down"
+        _bail_backend_down('probe', e)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3,
@@ -94,8 +141,9 @@ def main():
     res = args.res or (512 if args.kind == 'deathmatch' else 256)
     baseline = DM_BASELINE_FPS if args.kind == 'deathmatch' else BASELINE_FPS
 
+    probe_backend()
+
     import gc
-    import sys
 
     def attempt_once(n):
         env = build(n, res=res, kind=args.kind,
@@ -112,6 +160,13 @@ def main():
                 fps = attempt_once(n_envs)
                 break
             except Exception as e:
+                if _looks_backend_down(e):
+                    # Tunnel compiles do flake with UNAVAILABLE once in a
+                    # while (retry those), but a repeat means the tunnel is
+                    # actually down — halving can't help and the loop would
+                    # eat the driver's window. Bail with the distinct code.
+                    if attempt > 0:
+                        _bail_backend_down(f'run@{n_envs}envs', e)
                 print(f'attempt {attempt} at {n_envs} envs failed '
                       f'({type(e).__name__}: {str(e)[:200]})', file=sys.stderr)
                 # Drop the traceback's frame references (they pin the failed
