@@ -23,7 +23,7 @@ import jax
 
 
 def measure(n_envs, n_devices=None, width=256, buffer_size=32, steps=3,
-            res=256, seed=0):
+            res=256, subsample=4, seed=0):
     """Steps/s of the full sharded train step on an ``n_devices`` mesh.
 
     :return: dict with steps_per_s and the mesh size.
@@ -34,12 +34,14 @@ def measure(n_envs, n_devices=None, width=256, buffer_size=32, steps=3,
     from ..demo.train import init_carry, make_train_step, optimizer
     from .mesh import mesh, place_carry, place_env, replicated, shard_carry, shard_env
 
+    if n_devices is None:
+        n_devices = len(jax.devices())
     geoms = floorplans.sample(min(n_envs, 512))
     geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
     # obs_groups=1: size buckets slice the env axis at group boundaries, which
     # cut across device shards on a multi-chip mesh and force per-step
     # resharding collectives around every group's kernel call.
-    env = Explorer(n_envs, geometries=geoms, res=res,
+    env = Explorer(n_envs, geometries=geoms, res=res, subsample=subsample,
                    obs_groups=1 if n_devices > 1 else None)
     agent = Agent(env.obs_space, env.action_space, width=width)
     opt = optimizer()
