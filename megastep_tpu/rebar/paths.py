@@ -1,19 +1,73 @@
 """Run-directory conventions.
 
-Counterpart of the reference ``rebar/paths.py``: every run owns
-``output/traces/<run>/<group>/<channel>/<procname>-<pid>`` files, runs resolve by
-name or negative age index, and each process writes only its own files (which is what
-makes the whole telemetry stack multi-process-safe by construction).
+Same on-disk layout as the reference ``rebar/paths.py`` — every run owns
+``output/traces/<run>/<group>/<channel>/<procname>-<pid>`` files, and each process
+writes only its own files, which is what makes the whole telemetry stack
+multi-process-safe by construction — but organized around a :class:`Run` handle;
+the module-level functions are thin conveniences over it.
 """
 import multiprocessing as mp
 import os
-import re
 import shutil
 from pathlib import Path
+from typing import NamedTuple
 
 from ..dotdict import dotdict
 
 ROOT = 'output/traces'
+
+_FORBIDDEN = ('_', os.sep)
+
+
+class TracePath(NamedTuple):
+    """A parsed ``<run>/<group>/<channel...>/<procname>-<pid>`` trace path."""
+    run_name: str
+    group: str
+    channel: str
+    filename: str
+    procname: str
+    pid: str
+
+
+class Run:
+    """Handle on one run's trace directory."""
+
+    def __init__(self, name):
+        self.name = resolve(name)
+
+    @property
+    def dir(self):
+        return Path(ROOT) / self.name
+
+    def group(self, group, channel=''):
+        """The directory for a group (optionally one channel of it)."""
+        d = self.dir / group
+        return d / channel if channel else d
+
+    def file(self, group, channel=''):
+        """This process's own file in group/channel, parents created. The run and
+        group names must survive :func:`parse`, so no '_' or separators."""
+        for name in (self.name, group):
+            bad = [c for c in _FORBIDDEN if c in name]
+            assert not bad, f'Can\'t have "{bad[0]}" in the file path'
+        me = mp.current_process()
+        target = self.group(group, channel) / f'{me.name}-{me.pid}'
+        target.parent.mkdir(exist_ok=True, parents=True)
+        return target
+
+    def files(self, group, channel='', pattern='*'):
+        """Every process's files in group/channel, oldest-modified first."""
+        found = self.group(group, channel).glob(pattern)
+        return sorted(found, key=lambda p: p.stat().st_mtime)
+
+    def clear(self, group=None):
+        shutil.rmtree(self.group(group) if group else self.dir,
+                      ignore_errors=True)
+
+    def size(self, group):
+        """Total size of a group's files, in MB."""
+        return sum(f.stat().st_size
+                   for f in self.group(group).glob('**/*.*')) / 1e6
 
 
 def resolve(run_name):
@@ -22,69 +76,52 @@ def resolve(run_name):
     if isinstance(run_name, str):
         return run_name
     if isinstance(run_name, int):
-        times = {p: p.stat().st_ctime for p in Path(ROOT).iterdir()}
-        ordered = sorted(times, key=times.__getitem__)
-        return ordered[run_name].parts[-1]
+        by_age = sorted(Path(ROOT).iterdir(), key=lambda p: p.stat().st_ctime)
+        return by_age[run_name].name
     raise ValueError(f"Can't find a run corresponding to {run_name}")
 
 
-def run_dir(run_name):
-    return Path(ROOT) / resolve(run_name)
-
-
-def subdirectory(run_name, group, channel=''):
-    d = run_dir(run_name) / group
-    return d / channel if channel else d
-
-
-def clear(run_name, group=None):
-    """Deletes a run (or one group of it)."""
-    target = run_dir(run_name) if group is None else subdirectory(run_name, group)
-    shutil.rmtree(target, ignore_errors=True)
-
-
-def path(run_name, group, channel=''):
-    """This process's file in the given group/channel; parents are created."""
-    run_name = resolve(run_name)
-    proc = mp.current_process()
-    for x in [run_name, group]:
-        for c in ['_', os.sep]:
-            assert c not in x, f'Can\'t have "{c}" in the file path'
-    p = subdirectory(run_name, group, channel) / f'{proc.name}-{proc.pid}'
-    p.parent.mkdir(exist_ok=True, parents=True)
-    return p
-
-
-def glob(run_name, group, channel='', pattern='*'):
-    ps = subdirectory(run_name, group, channel).glob(pattern)
-    return sorted(ps, key=lambda p: p.stat().st_mtime)
-
-
 def parse(p):
-    """Splits a trace path back into run/group/channel/procname/pid."""
-    parts = p.relative_to(ROOT).with_suffix('').parts
-    procname, pid = re.match(r'^(.*)-(.*)$', parts[-1]).groups()
-    return dotdict(
-        run_name=parts[0],
-        group=parts[1],
-        channel='/'.join(parts[2:-1]),
-        filename=parts[-1],
-        procname=procname,
-        pid=pid)
+    """Splits a trace path back into run/group/channel/procname/pid (as a dotdict,
+    for ``**``-formatting into display strings)."""
+    run_name, group, *channel, filename = Path(p).relative_to(ROOT).with_suffix('').parts
+    procname, _, pid = filename.rpartition('-')
+    return dotdict(TracePath(run_name, group, '/'.join(channel), filename,
+                             procname, pid)._asdict())
 
 
 def runs():
     """All runs with creation times, oldest first, as a pandas frame."""
     import pandas as pd
-    rows = [{'path': p,
-             'created': pd.Timestamp(p.stat().st_ctime, unit='s'),
-             'run_name': p.parts[-1]}
-            for p in Path(ROOT).iterdir()]
-    return pd.DataFrame(rows).sort_values('created').reset_index(drop=True)
+    frame = pd.DataFrame(
+        {'path': p,
+         'created': pd.Timestamp(p.stat().st_ctime, unit='s'),
+         'run_name': p.name}
+        for p in Path(ROOT).iterdir())
+    return frame.sort_values('created').reset_index(drop=True)
+
+
+# Function-style conveniences (the reference's API shape).
+
+def run_dir(run_name):
+    return Run(run_name).dir
+
+
+def subdirectory(run_name, group, channel=''):
+    return Run(run_name).group(group, channel)
+
+
+def path(run_name, group, channel=''):
+    return Run(run_name).file(group, channel)
+
+
+def glob(run_name, group, channel='', pattern='*'):
+    return Run(run_name).files(group, channel, pattern)
+
+
+def clear(run_name, group=None):
+    Run(run_name).clear(group)
 
 
 def size(run_name, group):
-    """Total size of a group's files, in MB."""
-    b = sum(item.stat().st_size
-            for item in subdirectory(resolve(run_name), group).glob('**/*.*'))
-    return b / 1e6
+    return Run(run_name).size(group)

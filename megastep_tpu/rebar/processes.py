@@ -10,7 +10,9 @@ Counterpart of the reference ``rebar/processes.py``. The reference's pieces map 
     (``processes.py:87-105``) → :func:`consensus`, a min-reduce over hosts via
     ``multihost_utils`` (falling back to local when single-host);
   * ``ProcessSentinel``/``SerialSentinel`` child supervisors with graceful-cancel
-    escalation (``processes.py:125-266``) → ported directly (host-side logic).
+    escalation (``processes.py:125-266``) → one :class:`Sentinel` supervisor over
+    two "strand" kinds (an OS process, or a coroutine stepped in-process for
+    debugging), same protocol: launch / check / cancel-with-escalation.
 """
 import asyncio
 import inspect
@@ -100,48 +102,115 @@ def set_start_method():
         assert ctx._actual_context._name in ('spawn', 'forkserver')
 
 
-class ProcessSentinel:
-    """Supervises child processes: launch, graceful-cancel with a 15 s escalation to
-    terminate, and dead-child detection (reference ``processes.py:125-189``)."""
+class _ProcessStrand:
+    """A supervised child running as its own OS process."""
+
+    #: seconds between graceful-cancellation polls
+    pace = 1.
+
+    def __init__(self, name, f, args, kwargs):
+        self.name = name
+        if inspect.iscoroutinefunction(f):
+            f, args = coroutine_runner, (f, *args)
+        self._proc = mp.Process(name=name, target=f, args=args, kwargs=kwargs)
+        self._proc.start()
+
+    def running(self):
+        return self._proc.is_alive()
+
+    def ensure_healthy(self):
+        """A process that exited while supervised is a failure, clean or not."""
+        if not self._proc.is_alive():
+            raise DeadStrand(f'Process "{self.name}" died unexpectedly')
+
+    def kill(self):
+        self._proc.terminate()
+
+
+class _CoroutineStrand:
+    """A supervised child stepped in-process — the debuggable serial variant."""
+
+    pace = 0.
+
+    def __init__(self, name, f, args, kwargs):
+        self.name = name
+        self._co = f(*args, **kwargs)
+
+    def running(self):
+        try:
+            self._co.send(None)
+        except (RuntimeError, StopIteration):
+            return False
+        return True
+
+    def ensure_healthy(self):
+        """Stepping may finish cleanly (fine) or raise the child's own error."""
+        try:
+            self._co.send(None)
+        except StopIteration:
+            pass
+
+    def kill(self):
+        try:
+            self._co.close()
+        except RuntimeError:
+            pass
+
+
+class Sentinel:
+    """Supervises children ("strands"): launch, dead-child detection via
+    :meth:`check`, and cancel-with-escalation — ``wait`` polls for graceful exits
+    and kills whatever survives the grace period. Covers the reference's
+    ``ProcessSentinel``/``SerialSentinel`` pair (``processes.py:125-266``)."""
+
+    strand_kind = _ProcessStrand
 
     def __init__(self, wait=15):
-        self._wait = wait
-        self._processes = {}
+        self._grace = wait
+        self._strands = []
         self._references = []
         self.canceller = mp.Event()
-        set_start_method()
-        self.serial = False
+
+    @property
+    def serial(self):
+        return self.strand_kind is _CoroutineStrand
 
     def pin(self, obj):
         """Keeps an object (e.g. a queue) alive for as long as the children."""
         self._references.append(obj)
 
     def launch(self, f, *args, **kwargs):
-        if (self.canceller not in args) and (self.canceller not in kwargs.values()):
+        if self.canceller not in args and self.canceller not in kwargs.values():
             log.warning("Sentinel's canceller has not been passed to a launched process")
-        count = len([n for n, _ in self._processes if n == f.__qualname__])
-        target = coroutine_runner if inspect.iscoroutinefunction(f) else f
-        args = (f, *args) if inspect.iscoroutinefunction(f) else args
-        proc = mp.Process(name=f'{f.__qualname__}-{count}', target=target,
-                          args=args, kwargs=kwargs)
-        proc.start()
-        self._processes[f.__qualname__, count] = proc
-        log.info(f'Launched process {f.__qualname__}-{count}')
+        base = f.__qualname__
+        name = f'{base}-{sum(s.name.rsplit("-", 1)[0] == base for s in self._strands)}'
+        self._strands.append(self.strand_kind(name, f, args, kwargs))
+        log.info(f'Launched {name}')
+
+    def check(self):
+        """Raises (after cancelling everyone) if any child has died."""
+        for strand in self._strands:
+            try:
+                strand.ensure_healthy()
+            except Exception:
+                log.info(f'"{strand.name}" died unexpectedly; cancelling')
+                self.cancel()
+                raise
 
     def wait(self):
-        alive = []
-        for _ in range(int(self._wait)):
-            alive = [(n, c) for (n, c), p in self._processes.items() if p.is_alive()]
-            if not alive:
-                log.info('All processes gracefully cancelled')
+        survivors = []
+        for _ in range(int(self._grace)):
+            survivors = [s for s in self._strands if s.running()]
+            if not survivors:
+                log.info('All children gracefully cancelled')
                 break
-            strs = [f'{n}-{c}' for n, c in alive]
-            log.info(f'Waiting for cancellations: {", ".join(strs)} still alive')
-            time.sleep(1)
+            log.info('Waiting for cancellations: '
+                     f'{", ".join(s.name for s in survivors)} still alive')
+            time.sleep(self.strand_kind.pace)
         else:
-            for n, c in alive:
-                log.info(f'Failed to cancel "{n}-{c}"; terminating')
-                self._processes[n, c].terminate()
+            for s in survivors:
+                log.info(f'Failed to cancel "{s.name}"; killing')
+                s.kill()
         self._references = []
 
     def cancel(self):
@@ -149,70 +218,17 @@ class ProcessSentinel:
         self.canceller.set()
         self.wait()
 
-    def check(self):
-        for (n, c), p in self._processes.items():
-            if not p.is_alive():
-                log.info(f'Process "{n}-{c}" died unexpectedly; cancelling')
-                self.cancel()
-                raise DeadStrand(f'Process "{n}-{c}" died unexpectedly')
 
-
-class SerialSentinel:
-    """The debuggable variant: children are coroutines stepped in-process
-    (reference ``processes.py:191-247``)."""
+class ProcessSentinel(Sentinel):
+    strand_kind = _ProcessStrand
 
     def __init__(self, wait=15):
-        self._wait = wait
-        self.canceller = mp.Event()
-        self._coroutines = {}
-        self.serial = True
+        set_start_method()
+        super().__init__(wait)
 
-    def launch(self, f, *args, **kwargs):
-        if (self.canceller not in args) and (self.canceller not in kwargs.values()):
-            log.warning("Sentinel's canceller has not been passed to a launched process")
-        count = len([n for n, _ in self._coroutines if n == f.__qualname__])
-        self._coroutines[f.__qualname__, count] = f(*args, **kwargs)
-        log.info(f'Launched coroutine {f.__qualname__}-{count}')
 
-    def wait(self):
-        alive = []
-        for _ in range(int(self._wait)):
-            alive = []
-            for (n, c), co in self._coroutines.items():
-                try:
-                    co.send(None)
-                except (RuntimeError, StopIteration):
-                    pass
-                else:
-                    alive.append((n, c))
-            if not alive:
-                log.info('All coroutines gracefully cancelled')
-                break
-            strs = [f'{n}-{c}' for n, c in alive]
-            log.info(f'Waiting for cancellations: {", ".join(strs)} still alive')
-        else:
-            for n, c in alive:
-                log.info(f'Failed to cancel "{n}-{c}"; closing')
-                try:
-                    self._coroutines[n, c].close()
-                except RuntimeError:
-                    pass
-
-    def cancel(self):
-        log.info('Setting canceller')
-        self.canceller.set()
-        self.wait()
-
-    def check(self):
-        for (n, c), co in self._coroutines.items():
-            try:
-                co.send(None)
-            except StopIteration:
-                pass
-            except Exception as e:
-                log.info(f'Coroutine "{n}-{c}" died unexpectedly; cancelling')
-                self.cancel()
-                raise e
+class SerialSentinel(Sentinel):
+    strand_kind = _CoroutineStrand
 
 
 @contextmanager
