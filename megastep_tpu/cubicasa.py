@@ -5,9 +5,9 @@ cubicasa.py:39-224``): a license-gated download of the 5k-floorplan SVG dataset,
 cached SVG→geometry conversion, and a deterministic 90/10 train/test sampler.
 
 Differences from the reference, by design:
-  * the SVG→geometry conversion requires ``shapely`` (polygon booleans for door
-    subtraction) and ``bs4``; both are optional extras, and the module stays
-    importable without them;
+  * the SVG→geometry conversion needs only ``bs4`` (markup) — the polygon
+    booleans for door subtraction are dependency-free
+    (:mod:`megastep_tpu.polygons`), so the whole path runs everywhere;
   * when neither the geometry cache nor network access is available,
     :func:`sample` falls back to :mod:`megastep_tpu.floorplans` procedural layouts
     (same schema) with a warning, so the demo envs and benchmarks run offline.
@@ -77,8 +77,13 @@ def _classes(e):
 
 def svg_elements(svg):
     """Extracts the raw cubicasa SVG elements (pure bs4 + numpy, no geometry
-    dependencies): wall/railing polygons, door polygons, and space outlines
-    (reference selection rules, ``geometry.py:43-57``).
+    dependencies): wall/railing polygons, door polygons, and space outlines.
+
+    Selection matches the reference's CSS rules (``geometry.py:43-57``:
+    ``.Wall>polygon``, ``.Door>polygon``, ``.Space>polygon``) on real cubicasa
+    markup, where Door groups nest *inside* Wall groups and Space groups carry
+    multi-token classes (``Space LivingRoom``) plus nested FixedFurniture — only
+    polygons whose *direct parent* carries the class count, one polygon each.
 
     :return: dotdict of ``walls``/``doors``/``spaces`` — lists of (P, 2) point
         arrays in SVG (cm) coordinates.
@@ -87,71 +92,52 @@ def svg_elements(svg):
 
     soup = BeautifulSoup(svg, features='xml')
 
-    def has(e, *names):
-        return any(c in names for c in _classes(e))
-
-    walls = []
-    for e in soup.select('polygon'):
-        if has(e.parent, 'Wall', 'Railing'):
-            pts = _points(e['points'])
-            if len(pts) >= 3:
-                walls.append(pts)
-    doors = []
-    for e in soup.select('g'):
-        if has(e, 'Door'):
-            pts = [p for poly in e.select('polygon')
-                   for p in poly.get('points', '').split()]
-            if pts:
-                pts = np.array([list(map(float, p.split(','))) for p in pts])
-                if len(pts) >= 3:
-                    doors.append(pts)
-    spaces = []
-    for e in soup.select('g'):
-        if has(e, 'Space'):
-            poly = e.select_one('polygon')
-            if poly is not None:
-                pts = _points(poly['points'])
-                if len(pts) >= 3:
-                    spaces.append(pts)
+    walls, doors, spaces = [], [], []
+    buckets = [(('Wall', 'Railing'), walls), (('Door',), doors),
+               (('Space',), spaces)]
+    for poly in soup.select('polygon'):
+        pts = _points(poly.get('points', ''))
+        if len(pts) < 3:
+            continue
+        parent = set(_classes(poly.parent))
+        for names, bucket in buckets:
+            if parent & set(names):
+                bucket.append(pts)
+                break
     return dotdict(walls=walls, doors=doors, spaces=spaces)
 
 
-def svg_walls(svg):
-    """Parses wall segments from a cubicasa SVG: union the wall polygons,
-    subtract dilated doors, take the boundary rings as segments (reference
-    ``geometry.py:43-57``). Requires shapely (bs4 parsing lives in
-    :func:`svg_elements`)."""
-    import shapely.geometry as sg
-    import shapely.ops
+def svg_walls(svg, door_dilation=5.):
+    """Parses wall segments from a cubicasa SVG: boundary of the wall-polygon
+    union minus dilated door polygons (reference ``geometry.py:43-57``, which
+    used shapely; here :mod:`megastep_tpu.polygons` computes it exactly with
+    zero dependencies). Doors are dilated 5 cm before subtraction because
+    real-dataset door polygons are often slightly misaligned with their wall."""
+    from . import polygons
 
     els = svg_elements(svg)
-    polys = [sg.Polygon(pts).buffer(0) for pts in els.walls]
-    doors = [sg.Polygon(pts).buffer(.5) for pts in els.doors]
-
-    merged = shapely.ops.unary_union(polys)
-    for d in doors:
-        merged = merged.difference(d)
-
-    walls = []
-    geoms = getattr(merged, 'geoms', [merged])
-    for g in geoms:
-        if g.is_empty:
-            continue
-        for ring in [g.exterior, *g.interiors]:
-            coords = np.array(ring.coords)
-            walls.extend(np.stack([coords[:-1], coords[1:]], 1))
-    return np.array(walls), els.spaces
+    doors = [polygons.dilate_convex(pts, door_dilation) for pts in els.doors]
+    walls = polygons.boundary_segments(els.walls, doors)
+    return walls, els.spaces
 
 
 def svg_geometry(id, svg):
-    """One SVG → geometry dict: cm→m scaling, wall dedupe, masks, centroid lights
-    (reference ``geometry.py:62-97``)."""
+    """One SVG → geometry dict: cm→m scaling with a y-flip (SVG coordinates are
+    centimeters from the top-left, the engine wants meters from the bottom-left
+    — reference ``geometry.py:62-72``), wall dedupe, masks, centroid lights."""
     from .constants import SVG_SCALE, MARGIN
     walls, spaces = svg_walls(svg)
-    lo = walls.reshape(-1, 2).min(0)
-    walls = (walls - lo) / SVG_SCALE + MARGIN
-    spaces = [(np.asarray(s) - lo) / SVG_SCALE + MARGIN for s in spaces]
-    walls = geometry.unique(walls)
+    joint = np.concatenate([walls.reshape(-1, 2)] +
+                           [np.asarray(s) for s in spaces])
+    left, bot = joint[:, 0].min(), joint[:, 1].max()
+
+    def to_meters(ps):
+        ps = np.asarray(ps)
+        flipped = np.stack([ps[..., 0] - left, bot - ps[..., 1]], -1)
+        return flipped / SVG_SCALE + MARGIN
+
+    walls = geometry.unique(to_meters(walls))
+    spaces = [to_meters(s) for s in spaces]
     masks = geometry.masks(walls, spaces)
     lights = geometry.centroids(spaces)
     return dotdict(id=id, walls=walls, lights=lights, masks=masks, res=geometry.RES)

@@ -3,8 +3,9 @@
 Counterpart of ``/root/reference/megastep/geometry.py``, rebuilt without the shapely/
 rasterio dependencies: the occupancy-mask rasterizer and polygon centroid are
 implemented in pure numpy, so procedural geometries (``megastep_tpu.toys``) work with
-zero optional deps. The SVG floorplan parser (which needs shapely's polygon booleans)
-lives in :mod:`megastep_tpu.cubicasa` and is gated on shapely being installed.
+zero optional deps. The SVG floorplan parser lives in
+:mod:`megastep_tpu.cubicasa`, with its polygon booleans in
+:mod:`megastep_tpu.polygons` — no shapely needed there either.
 
 A *geometry* is a dotdict with:
   * ``walls``: (n_walls, 2, 2) float array of wall segment endpoints, in meters.

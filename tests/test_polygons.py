@@ -1,0 +1,80 @@
+"""Pins `megastep_tpu.polygons` — the dependency-free boolean stage under the
+cubicasa pipeline (replaces the reference's shapely usage,
+``megastep/geometry.py:43-57``)."""
+import numpy as np
+import pytest
+
+from megastep_tpu import polygons
+
+
+def _total(segs):
+    return np.linalg.norm(segs[:, 1] - segs[:, 0], axis=1).sum()
+
+
+def test_single_square():
+    segs = polygons.boundary_segments([[[0, 0], [10, 0], [10, 10], [0, 10]]])
+    np.testing.assert_allclose(_total(segs), 40)
+    # Orientation: solid on the left of every segment.
+    mid = segs.mean(1)
+    t = segs[:, 1] - segs[:, 0]
+    left = mid + 1e-6 * np.stack([-t[:, 1], t[:, 0]], 1) / np.linalg.norm(t, axis=1, keepdims=True)
+    assert polygons.points_in_polygon(
+        left, np.array([[0, 0], [10, 0], [10, 10], [0, 10.]])).all()
+
+
+def test_union_removes_seam():
+    r1 = [[0, 0], [10, 0], [10, 5], [0, 5]]
+    r2 = [[5, 0], [15, 0], [15, 5], [5, 5]]
+    segs = polygons.boundary_segments([r1, r2])
+    np.testing.assert_allclose(_total(segs), 2 * 15 + 2 * 5)
+
+
+def test_difference_notch():
+    sq = [[0, 0], [10, 0], [10, 10], [0, 10]]
+    notch = [[4, -1], [6, -1], [6, 1], [4, 1]]
+    segs = polygons.boundary_segments([sq], [np.array(notch, float)])
+    # South edge loses the 2-wide gap; the notch contributes 2 verticals + top.
+    np.testing.assert_allclose(_total(segs), 40 - 2 + 2 + 2)
+
+
+def test_hole_ring_kept():
+    outer = [[0, 0], [20, 0], [20, 20], [0, 20]]
+    cavity = [[5, 5], [15, 5], [15, 15], [5, 15]]
+    segs = polygons.boundary_segments([outer], [np.array(cavity, float)])
+    np.testing.assert_allclose(_total(segs), 80 + 40)
+
+
+def test_cut_outside_solid_is_noop():
+    sq = [[0, 0], [10, 0], [10, 10], [0, 10]]
+    far = [[50, 50], [60, 50], [60, 60], [50, 60]]
+    segs = polygons.boundary_segments([sq], [np.array(far, float)])
+    np.testing.assert_allclose(_total(segs), 40)
+
+
+def test_orientation_insensitive_inputs():
+    cw = [[0, 0], [0, 10], [10, 10], [10, 0]]  # clockwise vertex order
+    segs = polygons.boundary_segments([cw])
+    np.testing.assert_allclose(_total(segs), 40)
+
+
+def test_rotated_polygons():
+    c, s = np.cos(.3), np.sin(.3)
+    R = np.array([[c, -s], [s, c]])
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10.]]) @ R.T
+    segs = polygons.boundary_segments([sq])
+    np.testing.assert_allclose(_total(segs), 40, rtol=1e-9)
+
+
+def test_dilate_convex_rect():
+    rect = np.array([[0, 0], [10, 0], [10, 4], [0, 4.]])
+    fat = polygons.dilate_convex(rect, 1.)
+    lo, hi = fat.min(0), fat.max(0)
+    np.testing.assert_allclose(lo, [-1, -1])
+    np.testing.assert_allclose(hi, [11, 5])
+
+
+def test_points_in_polygon():
+    tri = np.array([[0, 0], [4, 0], [0, 4.]])
+    pts = np.array([[1, 1], [3, 3], [-1, 0], [2, 1.5]])
+    np.testing.assert_array_equal(
+        polygons.points_in_polygon(pts, tri), [True, False, False, True])
