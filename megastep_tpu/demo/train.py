@@ -296,6 +296,9 @@ def train(env=None, n_envs=8 * 1024, buffer_size=32, batch_size=16 * 1024,
                     stats.mean(f'opt/{k2}', v)
                 stats.duty('duty/step', step_s)
                 stats.duty('duty/store', time.time() - t1)
+                # Device vitals each chunk, like the reference's per-chunk GPU
+                # memory scrape (demo/__init__.py:147-148).
+                stats.device.vitals(throttle=10)
             log.info('step %d done', i)
             i += 1
             interrupt.check()

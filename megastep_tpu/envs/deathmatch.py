@@ -53,7 +53,7 @@ class Deathmatch:
 
     def __init__(self, n_envs, n_agents=4, geometries=None, subsample=4,
                  fused=None, obs_groups=None, sort_scenes=True, shade_splits=3,
-                 draw_fused=False, **kwargs):
+                 draw_fused=False, pad_to=None, random=None, **kwargs):
         n_scenes = max(n_envs // n_agents, 1)
         geometries = cubicasa.sample(n_scenes) if geometries is None else geometries
         # Scenes are re-ordered by texel count so the fused observe can run
@@ -64,7 +64,11 @@ class Deathmatch:
         self.scene_order = (scene.size_order(geometries, n_agents)
                             if sort_scenes else np.arange(len(geometries)))
         geometries = [geometries[i] for i in self.scene_order]
-        scenery = scene.scenery(geometries, n_agents)
+        # random: seeded texture/light construction (reproducible scenes);
+        # pad_to: global padded shapes for per-host construction
+        # (parallel.host.sharded_deathmatch builds one scene slice per host).
+        scenery = scene.scenery(geometries, n_agents, random=random,
+                                pad_to=pad_to)
         self.core = core.Core(scenery, res=kwargs.pop('res', 4 * 128),
                               fov=kwargs.pop('fov', 70), **kwargs)
         self.fused = fused
@@ -72,7 +76,7 @@ class Deathmatch:
         self._depth = modules.Depth(self.core, n_agents=1, subsample=subsample)
         self._imu = modules.IMU(self.core, n_agents=1)
         self._movement = modules.MomentumMovement(self.core, n_agents=1)
-        self._spawner = modules.RandomSpawns(geometries, self.core)
+        self._spawner = modules.RandomSpawns(geometries, self.core, random=random)
 
         self.action_space = self._movement.space
         self.obs_space = dotdict(

@@ -15,7 +15,8 @@ import jax
 from .. import scene
 from .mesh import _REPLICATED_LEAF_NAMES, env_sharding, replicated
 
-__all__ = ['process_slice', 'assemble_env', 'sharded_explorer']
+__all__ = ['process_slice', 'assemble_env', 'sharded_explorer',
+           'sharded_deathmatch']
 
 
 def process_slice(n_envs):
@@ -38,9 +39,11 @@ def assemble_env(local_env, m):
     sizes (``n_envs`` etc.) derive from array shapes, so the assembled env is
     globally sized automatically.
     """
-    n_local = local_env.n_envs
+    # Both batch axes shard: the scene axis (core.n_envs) and, for agent-as-env
+    # layouts (Deathmatch), the expanded agent-env axis (n_envs = scenes * A).
+    n_locals = {local_env.n_envs}
     if hasattr(local_env, 'core'):
-        n_local = local_env.core.n_envs
+        n_locals.add(local_env.core.n_envs)
     env_sh = env_sharding(m)
     rep_sh = replicated(m)
 
@@ -50,7 +53,7 @@ def assemble_env(local_env, m):
         names = {getattr(k, 'name', getattr(k, 'key', None)) for k in path}
         x = np.asarray(x)
         if not (names & set(_REPLICATED_LEAF_NAMES)) and x.ndim >= 1 \
-                and x.shape[0] == n_local:
+                and x.shape[0] in n_locals:
             return jax.make_array_from_process_local_data(env_sh, x)
         return jax.make_array_from_process_local_data(rep_sh, x)
 
@@ -74,4 +77,26 @@ def sharded_explorer(n_envs, m, geometries, seed=0, **kwargs):
     local = Explorer(hi - lo, geometries=geometries[lo:hi], pad_to=pad,
                      random=random, obs_groups=kwargs.pop('obs_groups', 1),
                      **kwargs)
+    return assemble_env(local, m)
+
+
+def sharded_deathmatch(n_envs, m, geometries, n_agents=4, seed=0, **kwargs):
+    """Builds a Deathmatch with per-host scenery construction and assembles it
+    over the mesh. ``geometries`` is the *global* scene list (length
+    ``n_envs // n_agents``); each host compiles only its scene slice, padded to
+    the global maxima. Scene order is the caller's (``sort_scenes=False``) —
+    size-bucket sorting would reorder scenes across host boundaries.
+
+    :return: the globally-sharded Deathmatch.
+    """
+    from ..envs import Deathmatch
+    n_scenes = n_envs // n_agents
+    assert len(geometries) == n_scenes, (len(geometries), n_scenes)
+    pad = scene.padded_sizes(geometries, n_agents=n_agents)
+    lo, hi = process_slice(n_scenes)
+    random = np.random.RandomState(seed + jax.process_index())
+    local = Deathmatch((hi - lo) * n_agents, n_agents=n_agents,
+                       geometries=geometries[lo:hi], pad_to=pad, random=random,
+                       sort_scenes=False,
+                       obs_groups=kwargs.pop('obs_groups', 1), **kwargs)
     return assemble_env(local, m)

@@ -16,8 +16,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
-def test_two_process_sharded_env_construction():
+def _run_cluster(nprocs, mode, timeout=900):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), 'multihost_worker.py')
     env = {**os.environ,
@@ -25,14 +24,14 @@ def test_two_process_sharded_env_construction():
                [os.path.dirname(os.path.dirname(os.path.abspath(worker)))]
                + os.environ.get('PYTHONPATH', '').split(os.pathsep))}
     env.pop('PALLAS_AXON_POOL_IPS', None)  # keep CPU workers off the TPU tunnel
-    procs = [subprocess.Popen([sys.executable, worker, str(i), str(port)],
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True, env=env)
-             for i in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), str(nprocs), str(port), mode],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(nprocs)]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:
@@ -41,6 +40,50 @@ def test_two_process_sharded_env_construction():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f'worker {i} failed:\n{out}'
         assert f'proc {i}: OK' in out, out
+
+
+@pytest.mark.slow
+def test_two_process_sharded_env_construction():
+    _run_cluster(2, 'step')
+
+
+@pytest.mark.slow
+def test_four_process_sharded_train_step():
+    """The BASELINE 1→4-host deliverable's shape, virtually: 4 processes × 2
+    devices, per-host scenery construction, full PPO train step with donated
+    carries and an all-reduced gradient."""
+    _run_cluster(4, 'train')
+
+
+def test_sharded_deathmatch_builder():
+    """`parallel.host.sharded_deathmatch` assembles a scene-sharded Deathmatch
+    (single process: the host's slice is everything; the same code path feeds
+    each host its own slice on a real cluster) and it steps under jit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from megastep_tpu import floorplans
+    from megastep_tpu.arrdict import arrdict
+    from megastep_tpu.parallel.host import sharded_deathmatch
+    from megastep_tpu.parallel.mesh import mesh
+
+    n_scenes, A = 8, 4
+    geoms = [floorplans.sample(2)[i % 2] for i in range(n_scenes)]
+    m = mesh(8)
+    env = sharded_deathmatch(n_scenes * A, m, geoms, n_agents=A,
+                             res=128, subsample=2)
+    assert env.n_envs == n_scenes * A
+    # scene-sharded scenery and agent-env-sharded tables both split over devices
+    assert {s.data.shape[0] for s in env.core.scenery.lines.addressable_shards} \
+        == {n_scenes // 8}
+    state, world = env.reset(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def step(env, state, world, key):
+        return env.step(state, arrdict(actions=jax.random.randint(
+            key, (n_scenes * A, 1), 0, 7)), key)
+    state, world = step(env, state, world, jax.random.PRNGKey(1))
+    assert np.isfinite(float(jnp.sum(world.reward)))
 
 
 def test_deathmatch_sharded_train_step():

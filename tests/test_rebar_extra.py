@@ -96,6 +96,27 @@ def test_consensus_single_host():
     assert processes.consensus(False) is False
 
 
+def test_device_vitals_records_channel(monkeypatch):
+    """`stats.device.vitals` (wired into each train() chunk, like the
+    reference's per-chunk GPU scrape, ``demo/__init__.py:147-148``) records a
+    per-device memory channel. CPU devices report no memory_stats, so stub one
+    that does."""
+    import jax
+    from megastep_tpu.rebar.stats import device
+
+    class FakeDev:
+        def memory_stats(self):
+            return {'bytes_limit': 100, 'bytes_in_use': 25}
+
+    monkeypatch.setattr(jax, 'devices', lambda: [FakeDev()])
+    monkeypatch.setattr(device, '_last', -1e9)
+    with stats.to_dir('test-vitals-run'):
+        device.vitals(throttle=0)
+    df = stats.Reader('test-vitals-run').resample('1s')
+    assert 'device/memory/0' in df.columns
+    assert float(df['device/memory/0'].iloc[-1]) == 25.
+
+
 def test_pytree_static_equality():
     """Two identical envs hash/compare equal statically; arrays ride as leaves."""
     import jax
