@@ -19,7 +19,7 @@ MODULES = [
     'megastep_tpu.dotdict', 'megastep_tpu.arrdict',
     'megastep_tpu.ops.geom', 'megastep_tpu.ops.physics',
     'megastep_tpu.ops.render', 'megastep_tpu.ops.fused',
-    'megastep_tpu.ops.render_pallas', 'megastep_tpu.ops.bake',
+    'megastep_tpu.ops.bake',
     'megastep_tpu.envs.minimal', 'megastep_tpu.envs.explorer',
     'megastep_tpu.envs.deathmatch',
     'megastep_tpu.models.heads', 'megastep_tpu.models.lstm',

@@ -256,11 +256,13 @@ def shade(scenery, rc, baked_now, method=None):
 
 
 def backend_default():
-    """Raycast backend. 'jnp' everywhere for now: XLA fuses the nearest-hit
-    reduction well (~6 ms at 4k envs·256 px·48 lines on v5e), while the Pallas
-    kernel — bit-identical and VMEM-resident — currently loses to per-program
-    dispatch overhead (~16 µs × one program per env). Set 'pallas' explicitly to
-    use it; making it win is tracked perf work."""
+    """Raycast backend for this split (draw → raycast → shade) pipeline: 'jnp'
+    — XLA fuses the nearest-hit reduction well (~6 ms at 4k envs·256 px·48
+    lines on v5e). The production TPU path is not this pipeline at all but the
+    fused observe kernel (:mod:`megastep_tpu.ops.fused`), which the envs use by
+    default; a standalone Pallas *raycast* kernel measured 8× slower than XLA
+    here (one program per env, ~16 µs dispatch each — PERF.md negative
+    results) and was deleted."""
     return 'jnp'
 
 
@@ -273,25 +275,20 @@ def render(scenery, agents, res, half_screen_width, agent_radius,
         texels this frame. Defaults to ``n_agents > 1`` — with a single agent the
         camera near plane hides the agent's own model, so its lighting is never
         sampled.
-    :param backend: 'pallas' (TPU kernel), 'jnp' (reference impl), or None for
-        the platform default.
+    :param backend: 'jnp' or None. (The TPU-kernel path is the env-level fused
+        observe, :mod:`megastep_tpu.ops.fused`; the envs use it by default.)
     :return: arrdict of ``indices/locations/dots/distances`` (N, A, R) and
         ``screen`` (N, A, R, 3).
     """
     backend = backend_default() if backend is None else backend
-    if backend == 'pallas':
-        from . import render_pallas
-        if not render_pallas.supported(res, scenery.lines.shape[1]):
-            backend = 'jnp'  # needs lane-aligned columns + VMEM-sized line count
+    if backend != 'jnp':
+        raise ValueError(
+            f'unknown render backend {backend!r}: this split pipeline is '
+            "'jnp'-only; the production TPU kernel is the fused observe "
+            '(megastep_tpu.ops.fused), which the envs use via fused=True')
     lines_now = draw(scenery, agents)
-    if backend == 'pallas':
-        from . import render_pallas
-        rc = render_pallas.raycast(
-            lines_now, scenery.lines_width, agents.angles, agents.positions,
-            res, half_screen_width, agent_radius)
-    else:
-        rc = raycast(lines_now, scenery.lines_width, agents.angles,
-                     agents.positions, res, half_screen_width, agent_radius)
+    rc = raycast(lines_now, scenery.lines_width, agents.angles,
+                 agents.positions, res, half_screen_width, agent_radius)
 
     if rebake_dynamic is None:
         rebake_dynamic = scenery.n_agents > 1

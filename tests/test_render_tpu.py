@@ -1,12 +1,14 @@
-"""TPU-path render tests, runnable on CPU: MXU one-hot lookups vs gathers, and the
-Pallas raycast kernel (interpreter mode) vs the jnp reference."""
+"""TPU-path render tests, runnable on CPU: MXU one-hot lookups vs gathers, and
+the split-pipeline render() contract. (The standalone Pallas raycast kernel was
+deleted — it measurably lost to XLA's fused reduction, PERF.md negative results;
+the production TPU kernel is ops/fused.py, tested in test_fused.py.)"""
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
 from megastep_tpu import core, scene, toys
-from megastep_tpu.ops import render, render_pallas
+from megastep_tpu.ops import render
 
 
 def test_onehot_lookup_matches_gather():
@@ -46,37 +48,13 @@ def test_shade_methods_agree():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
 
 
-def test_pallas_raycast_interpret():
-    """The Pallas kernel reproduces the jnp raycast bit-for-bit (interpreter mode
-    on CPU; the same assertions run against real Mosaic on TPU)."""
-    scn = scene.scenery([toys.box() for _ in range(8)], n_agents=2,
+def test_render_rejects_unknown_backend():
+    """`render(backend=)` is 'jnp'-only; anything else errors with a pointer to
+    the fused kernel rather than silently running a slower path."""
+    scn = scene.scenery([toys.box()], n_agents=1,
                         random=np.random.RandomState(5))
-    c = core.Core(scn, res=128, fov=130)
+    c = core.Core(scn, res=32, fov=130)
     agents = c.init_agents()
-    key = jax.random.PRNGKey(0)
-    agents['positions'] = 3. + jax.random.uniform(key, agents.positions.shape)
-    agents['angles'] = jax.random.uniform(
-        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
-    lines_now = render.draw(scn, agents)
-
-    want = render.raycast(lines_now, scn.lines_width, agents.angles,
-                          agents.positions, c.res, c.half_screen_width,
-                          c.agent_radius)
-    got = render_pallas.raycast(lines_now, scn.lines_width, agents.angles,
-                                agents.positions, c.res, c.half_screen_width,
-                                c.agent_radius, interpret=True)
-    np.testing.assert_array_equal(np.asarray(want.indices), np.asarray(got.indices))
-    # The kernel reads the winner's s/t off the masked (R, L) products instead of
-    # recomputing the intersection, so values agree to f32 ULPs, not bits.
-    np.testing.assert_allclose(np.asarray(want.locations), np.asarray(got.locations),
-                               rtol=1e-5, atol=3e-6, equal_nan=True)
-    np.testing.assert_allclose(np.asarray(want.distances), np.asarray(got.distances),
-                               rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(want.dots), np.asarray(got.dots),
-                               rtol=1e-5, atol=1e-6, equal_nan=True)
-
-
-def test_pallas_supported_gate():
-    assert render_pallas.supported(256, 48)
-    assert not render_pallas.supported(100, 48)     # res not lane-aligned
-    assert not render_pallas.supported(256, 4096)   # working set too big
+    with pytest.raises(ValueError, match='fused'):
+        render.render(scn, agents, c.res, c.half_screen_width, c.agent_radius,
+                      backend='pallas')
