@@ -1,74 +1,87 @@
 """Side-by-side refreshable text panes for notebooks.
 
-Counterpart of the reference ``rebar/widgets.py``: a :class:`Compositor` laying out
-ipywidgets Output panes horizontally, each wrapped in a :class:`Output` with a
-thread-guarded ``refresh``. Degrades to plain stdout when ipywidgets/IPython is
-unavailable.
+Same role as the reference ``rebar/widgets.py`` — a :class:`Compositor` laying
+ipywidgets Output panes out horizontally, each refreshable in place — but one
+:class:`Pane` class serves both backends: bound to an ipywidgets Output in a
+notebook, falling back to plain prints on a console. Refreshes are serialized
+under one lock (ipywidgets' clear_output isn't thread-safe, and the library's
+own thread-safe path flickers).
 """
 import threading
 
-WRITE_LOCK = threading.RLock()
+_LOCK = threading.RLock()
 
 
-class Output:
+class Pane:
+    """One refreshable text pane. ``widget=None`` means console mode."""
 
-    def __init__(self, compositor, output, lines):
-        self._compositor = compositor
-        self._output = output
+    def __init__(self, lines=80, widget=None, on_close=None):
         self.lines = lines
+        self._widget = widget
+        self._on_close = on_close
 
     def refresh(self, content):
+        if self._widget is None:
+            print(content)
+            return
         from IPython.display import clear_output
-        with WRITE_LOCK, self._output:
+        with _LOCK, self._widget:
             clear_output(wait=True)
             print(content)
 
     def close(self):
-        self._compositor.remove(self._output)
+        if self._on_close is not None:
+            self._on_close(self._widget)
 
 
-class StdoutOutput:
-    """Console fallback: refresh just prints."""
+# The stats/logging pumps only need refresh/close/lines; keep the reference's
+# names importable.
+Output = Pane
+StdoutOutput = Pane
+WRITE_LOCK = _LOCK
 
-    lines = 80
 
-    def refresh(self, content):
-        print(content)
-
-    def close(self):
-        pass
+def _notebook_box():
+    """An HBox displayed in the running notebook, or None on a console."""
+    try:
+        import ipywidgets as widgets
+        from IPython.display import display
+        from .logging import in_ipython
+    except ImportError:
+        return None
+    if not in_ipython():
+        return None
+    box = widgets.HBox(layout=widgets.Layout(align_items='stretch'))
+    display(box)
+    return box
 
 
 class Compositor:
+    """Hands out panes laid out side by side (stdout panes on consoles)."""
 
     def __init__(self, lines=80):
         self.lines = lines
-        self._box = None
-        try:
-            import ipywidgets as widgets
-            from IPython.display import display
-            from .logging import in_ipython
-            if in_ipython():
-                self._box = widgets.HBox(
-                    layout=widgets.Layout(align_items='stretch'))
-                display(self._box)
-        except ImportError:
-            pass
+        self._box = _notebook_box()
 
     def output(self):
         if self._box is None:
-            return StdoutOutput()
+            return Pane(self.lines)
         import ipywidgets as widgets
-        output = widgets.Output(layout=widgets.Layout(width='100%'))
-        self._box.children = (*self._box.children, output)
-        return Output(self, output, self.lines)
+        w = widgets.Output(layout=widgets.Layout(width='100%'))
+        self._box.children = (*self._box.children, w)
+        return Pane(self.lines, w, on_close=self._drop)
 
-    def remove(self, child):
-        child.close()
-        self._box.children = tuple(c for c in self._box.children if c != child)
+    def _drop(self, widget):
+        if widget is not None:
+            widget.close()
+            self._box.children = tuple(c for c in self._box.children
+                                       if c is not widget)
+
+    # reference-parity names
+    def remove(self, widget):
+        self._drop(widget)
 
     def clear(self):
-        if self._box is None:
-            return
-        for child in self._box.children:
-            self.remove(child)
+        if self._box is not None:
+            for child in tuple(self._box.children):
+                self._drop(child)

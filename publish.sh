@@ -1,0 +1,18 @@
+#!/bin/sh
+# Builds the docs site and publishes it to the gh-pages branch.
+# Counterpart of the reference's sphinx publish pipeline
+# (/root/reference/publish.sh), without the sphinx dependency.
+set -e
+
+python docs/genapi.py
+python docs/build.py
+
+branch=$(git rev-parse --abbrev-ref HEAD)
+git branch --delete --force gh-pages 2>/dev/null || true
+git checkout --orphan gh-pages
+git reset
+git add -f docs/_site
+git commit -m "Rebuild GitHub pages"
+git filter-branch -f --prune-empty --subdirectory-filter docs/_site
+git push -f origin gh-pages || echo "no origin remote; gh-pages built locally"
+git checkout "$branch"

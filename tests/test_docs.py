@@ -23,3 +23,21 @@ def test_genapi_runs(tmp_path):
         assert anchor in api, anchor
     # deterministic: no memory addresses may leak into documented signatures
     assert ' at 0x' not in api
+
+
+def test_site_builds(tmp_path, monkeypatch):
+    """The publish pipeline's build step (docs/build.py, the reference's
+    sphinx-build counterpart) renders every nav page to HTML."""
+    repo = pathlib.Path(__file__).parents[1]
+    sys.path.insert(0, str(repo / 'docs'))
+    try:
+        import build as docs_build
+    finally:
+        sys.path.pop(0)
+    monkeypatch.setattr(docs_build, 'SITE', tmp_path / '_site')
+    docs_build.build()
+    for stem, _ in docs_build.PAGES:
+        html = (tmp_path / '_site' / f'{stem}.html').read_text()
+        assert '<main>' in html and 'megastep_tpu' in html
+    index = (tmp_path / '_site' / 'index.html').read_text()
+    assert 'class="current"' in index
