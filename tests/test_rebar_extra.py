@@ -62,6 +62,48 @@ def test_multiprocess_queue():
     assert q.get_end()
 
 
+def test_queuing_three_phase_close():
+    """The deadlock-free shutdown protocol (reference ``queuing.py:122-169``):
+    `close` drains intakes while sending ENDs, collects ENDs back, and waits for
+    outputs to drain — even when the peer's queues start out full."""
+    import asyncio
+
+    up = queuing.SerialQueue()      # peer -> me
+    down = queuing.SerialQueue()    # me -> peer
+    assert down.put('stuck-item')   # my output is full: END can't go yet
+    assert up.put('unread-item')    # my intake holds data, then the peer's END
+
+    async def run():
+        # Simulate the peer draining my output and ENDing my intake while my
+        # close() is mid-dance.
+        async def peer():
+            await asyncio.sleep(0)
+            assert down.get() == 'stuck-item'
+            for _ in range(100):
+                if up.put_end() and down.get_end():
+                    return
+                await asyncio.sleep(0)
+            raise AssertionError('peer never completed the END exchange')
+        await asyncio.gather(queuing.close([up], [down], timeout=5), peer())
+
+    asyncio.run(run())
+    assert up.get_end()             # END was received
+    assert down.get_end()           # ...in both directions
+    assert down.join()              # my output drained
+
+
+def test_logging_from_dir_merges_to_stdout(capsys):
+    """`from_dir` pumps every process's log lines to the console, labeled by
+    source (reference ``logging.py:121-168``)."""
+    log = rlogging.getLogger('pump-test')
+    with rlogging.from_dir('test-pump-run'):
+        log.info('pumped line one')
+        time.sleep(.4)  # let the tail thread pick it up
+    out = capsys.readouterr().out
+    assert 'pumped line one' in out
+    assert 'MainProcess/#' in out
+
+
 def test_serial_sentinel():
     """Coroutine children run under the sentinel and cancel cleanly
     (reference ``rebar/processes.py:191-266``)."""
