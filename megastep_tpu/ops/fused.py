@@ -280,7 +280,11 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         # so uxv == 0 -> parallel -> sq = inf -> invalid, identically to the
         # jnp reference's width mask (pays for itself: one (L, R) AND less).
 
-        ang = pose_ref[0, e, a, 0] * (jnp.pi / 180)
+        # Ray trig as a (1, 1) vector op, not scalar: scalar transcendentals
+        # serialize on the scalar unit (2 per program × the whole grid —
+        # EXPERIMENTS.md §4), and the vector path also matches the jnp
+        # reference's VPU trig on chip.
+        ang = pose_ref[0, e, a, 0] * jnp.full((1, 1), jnp.pi / 180, jnp.float32)
         co, si = jnp.cos(ang), jnp.sin(ang)
         px, py = pose_ref[0, e, a, 1], pose_ref[0, e, a, 2]
 
