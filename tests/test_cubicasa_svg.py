@@ -150,6 +150,38 @@ def test_real_markup_geometry_studio_golden():
     np.testing.assert_allclose(cavity_len, 3.2, atol=1e-6)
 
 
+def test_geometry_data_zip_to_cache(tmp_path, monkeypatch):
+    """The dataset pipeline end-to-end minus the download: a zip of model.svg
+    entries (the dataset's layout) converts to the geometry cache, the cache
+    round-trips, and `sample` draws from it deterministically (reference
+    ``cubicasa.py:149-174, 177-224``)."""
+    import zipfile
+    monkeypatch.setattr(cubicasa, 'ROOT', tmp_path)
+    monkeypatch.setattr(cubicasa, 'N_TEST', 1)
+    zpath = tmp_path / 'cubicasa5k.zip'
+    with zipfile.ZipFile(zpath, 'w') as z:
+        for i, name in enumerate(['apartment_a', 'studio_b']):
+            z.writestr(f'cubicasa5k/plans/{i}/model.svg', _fixture(name))
+        z.writestr('cubicasa5k/plans/2/model.svg', '<svg></svg>')  # bad entry
+
+    geoms = cubicasa.geometry_data()
+    assert len(geoms) == 2              # the bad entry is skipped with a warning
+    assert (tmp_path / 'geometries.pkl.gz').exists()
+    assert {g.id for g in geoms} == {'cubicasa5k/plans/0/model.svg',
+                                     'cubicasa5k/plans/1/model.svg'}
+    # Cache round-trip: a second call must not need the zip.
+    zpath.unlink()
+    again = cubicasa.geometry_data()
+    np.testing.assert_array_equal(again[0].walls, geoms[0].walls)
+
+    train = cubicasa.sample(3, fallback=None)
+    test = cubicasa.sample(2, split='test', fallback=None)
+    assert len(train) == 3 and len(test) == 2
+    # Deterministic: same picks on a re-draw.
+    np.testing.assert_array_equal(train[0].walls,
+                                  cubicasa.sample(3, fallback=None)[0].walls)
+
+
 def test_real_markup_drives_engine():
     """The parsed geometry must feed the engine end-to-end: scenery build, Core,
     one physics step, one render."""

@@ -78,3 +78,71 @@ def test_points_in_polygon():
     pts = np.array([[1, 1], [3, 3], [-1, 0], [2, 1.5]])
     np.testing.assert_array_equal(
         polygons.points_in_polygon(pts, tri), [True, False, False, True])
+
+
+def _raster_region(solids, cuts, res=.05, pad=2.):
+    """Grid-sample oracle for union(solids) - union(cuts)."""
+    pts = np.concatenate([np.asarray(p, float) for p in solids])
+    lo, hi = pts.min(0) - pad, pts.max(0) + pad
+    xs = np.arange(lo[0], hi[0], res) + res / 2
+    ys = np.arange(lo[1], hi[1], res) + res / 2
+    gx, gy = np.meshgrid(xs, ys)
+    grid = np.stack([gx.ravel(), gy.ravel()], -1)
+    inside = np.zeros(len(grid), bool)
+    for p in solids:
+        inside |= polygons.points_in_polygon(grid, np.asarray(p, float))
+    for p in cuts:
+        inside &= ~polygons.points_in_polygon(grid, np.asarray(p, float))
+    return inside.reshape(gy.shape[0], gx.shape[1]), res
+
+
+@pytest.mark.parametrize('seed', range(5))
+def test_random_rect_soup_vs_raster_oracle(seed):
+    """Randomized cross-check: for soups of random axis-aligned + rotated
+    rectangles with random cuts, the exact boundary length must match a
+    fine-grid rasterization's perimeter estimate of the same region."""
+    rng = np.random.RandomState(seed)
+
+    def rect(rng, rotated):
+        c = rng.uniform(0, 10, 2)
+        w, h = rng.uniform(.8, 4, 2)
+        pts = np.array([[-w, -h], [w, -h], [w, h], [-w, h]]) / 2
+        if rotated:
+            a = rng.uniform(0, np.pi)
+            R = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+            pts = pts @ R.T
+        return pts + c
+
+    solids = [rect(rng, i % 2) for i in range(4)]
+    cuts = [rect(rng, 0) * .5 for _ in range(2)]
+    segs = polygons.boundary_segments(solids, cuts)
+    exact = np.linalg.norm(segs[:, 1] - segs[:, 0], axis=1).sum()
+
+    mask, res = _raster_region(solids, cuts, res=.02)
+    # Perimeter estimate: count exposed cell faces along both axes.
+    faces = (np.abs(np.diff(mask.astype(int), axis=0)).sum()
+             + np.abs(np.diff(mask.astype(int), axis=1)).sum())
+    manhattan = faces * res
+    # A grid perimeter overestimates diagonal boundaries by up to √2 and
+    # resolution noise; the exact length must sit inside [manhattan/√2·(1-ε),
+    # manhattan·(1+ε)].
+    assert exact <= manhattan * 1.05, (exact, manhattan)
+    assert exact >= manhattan / np.sqrt(2) * 0.95, (exact, manhattan)
+
+    # Every kept segment is a true boundary: one side in, one side out.
+    mid = segs.mean(1)
+    t = segs[:, 1] - segs[:, 0]
+    t /= np.linalg.norm(t, axis=1, keepdims=True)
+    n = np.stack([-t[:, 1], t[:, 0]], 1)
+
+    def region(pts):
+        inside = np.zeros(len(pts), bool)
+        for p in solids:
+            inside |= polygons.points_in_polygon(pts, np.asarray(p, float))
+        for p in cuts:
+            inside &= ~polygons.points_in_polygon(pts, np.asarray(p, float))
+        return inside
+
+    lhs, rhs = region(mid + 1e-6 * n), region(mid - 1e-6 * n)
+    assert (lhs ^ rhs).all()
+    assert lhs.all()   # solid on the left (orientation contract)
