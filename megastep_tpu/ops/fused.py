@@ -406,7 +406,11 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
             counts = jax.lax.dot_general(
                 hi_m, lo_m, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)                    # (B, W)
-            seen_ref[0, 0, e] = counts
+            # bf16 output: halves the kernel's largest HBM write (the (N, B*W)
+            # stream ≈ 151 MB/step f32 at 16k envs). Counts are exact ≤ 256 and
+            # round to a nearby nonzero above — downstream consumes `> 0` only
+            # (explorer.py:189), which rounding can never flip.
+            seen_ref[0, 0, e] = counts.astype(jnp.bfloat16)
 
 
 # Empirical per-env scoped-VMEM footprint: ~14 live (L, R) f32 buffers in the
@@ -470,7 +474,8 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         exclusive with ``draw_model``.
     :return: arrdict with ``indices`` (N, A, R) i32, ``distances`` (N, A, R),
         ``screen`` (N, A, 3, R), and (if ``want_seen``) ``seen_counts``
-        (N, B*128) — slice to the scenery's T texels.
+        (N, B*128) f32 — slice to the scenery's T texels. Counts ride HBM as
+        bf16 (exact ≤ 256, nonzero-preserving above); consume as ``> 0``.
     """
     N, A = angles.shape
     if skip_dyn:
@@ -515,7 +520,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32)]
     if want_seen:
-        out_shape += [jax.ShapeDtypeStruct((NB, A, E, B, LO_WIDTH), jnp.float32)]
+        out_shape += [jax.ShapeDtypeStruct((NB, A, E, B, LO_WIDTH), jnp.bfloat16)]
 
     scratch_shapes = []
     if patch_rows or (not presplit and A > 1):
@@ -567,9 +572,10 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         distances=to_nar(dist),
         screen=jnp.stack([to_nar(r), to_nar(g), to_nar(b)], 2))  # (N, A, 3, R)
     if want_seen:
-        # (NB, A, E, B, W): sum per-agent counts; (B, W) flattens to the texel
-        # axis row-major for free.
-        out['seen_counts'] = outs[5].sum(1).reshape(N, B * LO_WIDTH)
+        # (NB, A, E, B, W): sum per-agent counts in f32 (the kernel emits bf16);
+        # (B, W) flattens to the texel axis row-major for free.
+        out['seen_counts'] = (outs[5].astype(jnp.float32).sum(1)
+                              .reshape(N, B * LO_WIDTH))
     return out
 
 
