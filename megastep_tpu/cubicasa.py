@@ -143,26 +143,40 @@ def svg_geometry(id, svg):
     return dotdict(id=id, walls=walls, lights=lights, masks=masks, res=geometry.RES)
 
 
-def geometry_data(regenerate=False):
+def safe_geometry(id, svg):
+    """:func:`svg_geometry` that returns None (with a warning) on malformed
+    markup instead of killing the batch conversion (the dataset has a handful
+    of broken files — reference ``cubicasa.py:128-136``)."""
+    try:
+        return svg_geometry(id, svg)
+    except Exception as e:  # noqa: BLE001 — any parse failure just skips the file
+        log.warning('Skipping %s: %s', id, e)
+        return None
+
+
+def geometry_data(regenerate=False, backend='process'):
     """Loads (building if needed) the geometry cache: a gzipped pickle of geometry
-    dicts converted from the dataset SVGs (reference ``cubicasa.py:149-174``)."""
+    dicts converted from the dataset SVGs. Conversion fans out over a process
+    pool like the reference's regeneration path (``cubicasa.py:149-160``).
+
+    :param backend: pool backend for the conversion ('process'/'thread'/'serial').
+    """
     cache = ROOT / 'geometries.pkl.gz'
     if cache.exists() and not regenerate:
         with gzip.open(cache, 'rb') as f:
             return pickle.load(f)
 
     import zipfile
+    from .rebar.parallel import parallel
     zpath = ROOT / 'cubicasa5k.zip'
     if not zpath.exists():
         download()
-    geoms = []
     with zipfile.ZipFile(zpath) as z:
         names = sorted(n for n in z.namelist() if n.endswith('model.svg'))
-        for n in names:
-            try:
-                geoms.append(svg_geometry(n, z.read(n).decode('utf8')))
-            except Exception as e:
-                log.warning('Skipping %s: %s', n, e)
+        svgs = {n: z.read(n).decode('utf8') for n in names}
+    with parallel(safe_geometry, backend=backend) as pool:
+        geoms = pool.wait([pool(n, svgs[n]) for n in names])
+    geoms = [g for g in geoms if g is not None]
     cache.parent.mkdir(parents=True, exist_ok=True)
     with gzip.open(cache, 'wb') as f:
         pickle.dump(geoms, f)
