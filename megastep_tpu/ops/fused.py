@@ -165,7 +165,7 @@ def pack_table8_patch(scenery, baked_dyn, splits=3):
 
 def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
                     want_seen, presplit, patch_rows, draw_model, idx_base,
-                    lines_ref, attrs_ref, table_ref, pose_ref, *rest):
+                    fast_div, lines_ref, attrs_ref, table_ref, pose_ref, *rest):
     """One program = ``env_block`` envs × one agent × all ``res`` rays.
 
     Blocks: lines (1, E, L, 4) VMEM · attrs (1, E, 4, L) VMEM · table — either
@@ -302,11 +302,18 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
 
         distant = jnp.abs(uxv) < PARALLEL_EPS
         safe = jnp.where(distant, 1., uxv)
-        # True divisions, same arithmetic as render.raycast (s_num/safe): a
-        # reciprocal-multiply differs by ~1 ulp, which can flip the winner at
-        # tolerance boundaries and break the documented exact-indices contract.
-        sq = jnp.where(distant, jnp.inf, s_num / safe)                 # (L, R)
-        tq = jnp.where(distant, jnp.inf, t_num / safe)
+        if fast_div:
+            # Opt-in: one reciprocal shared by both quotients — halves the
+            # kernel's (L, R) divides (its costliest VPU op) at ~1-ulp drift
+            # in sq/tq, which can flip the winner on tolerance-boundary rays.
+            recip = 1. / safe
+            sq = jnp.where(distant, jnp.inf, s_num * recip)            # (L, R)
+            tq = jnp.where(distant, jnp.inf, t_num * recip)
+        else:
+            # True divisions, same arithmetic as render.raycast (s_num/safe):
+            # the default keeps the documented exact-indices contract.
+            sq = jnp.where(distant, jnp.inf, s_num / safe)             # (L, R)
+            tq = jnp.where(distant, jnp.inf, t_num / safe)
 
         valid = (0 <= tq) & (tq <= 1) & (near < sq)
         s_masked = jnp.where(valid, sq, jnp.inf)
@@ -432,11 +439,12 @@ def default_env_block(n_envs, n_lines=64, res=256, n_blocks=16):
 
 @partial(jax.jit, static_argnames=('res', 'half_screen_width', 'agent_radius',
                                    'want_seen', 'env_block', 'patch_rows',
-                                   'draw_model', 'skip_dyn', 'interpret'))
+                                   'draw_model', 'skip_dyn', 'fast_div',
+                                   'interpret'))
 def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
             half_screen_width, agent_radius, want_seen=True, env_block=None,
             table_patch=None, patch_rows=(), draw_model=0, skip_dyn=0,
-            interpret=False):
+            fast_div=False, interpret=False):
     """Fused raycast + shade (+ seen counts) over the whole env batch.
 
     :param lines_now: (N, L, 2, 2) this frame's lines (after :func:`render.draw`);
@@ -472,6 +480,11 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         skip-draw path) those rows can never win a ray, so dropping them cuts
         the (L, R) raycast chain by ``n_dynamic/L`` bit-exactly. Mutually
         exclusive with ``draw_model``.
+    :param fast_div: share one reciprocal between the raycast's two (L, R)
+        quotients instead of two true divisions — ~1 ulp drift in s/t that can
+        flip tolerance-boundary winners, so opt-in (A/B via
+        ``perf/fused_bench.py --fast-div``); the default keeps indices and
+        distances exact vs the jnp reference.
     :return: arrdict with ``indices`` (N, A, R) i32, ``distances`` (N, A, R),
         ``screen`` (N, A, 3, R), and (if ``want_seen``) ``seen_counts``
         (N, B*128) f32 — slice to the scenery's T texels. Counts ride HBM as
@@ -512,7 +525,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
 
     kernel = partial(_observe_kernel, res, E, B, float(half_screen_width),
                      float(agent_radius), want_seen, presplit, patch_rows,
-                     draw_model, skip_dyn)
+                     draw_model, skip_dyn, fast_div)
     out_shape = [
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.int32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
@@ -609,7 +622,8 @@ def size_groups(lines_width, tex_width, n_groups=4, gran=64):
 def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                     positions, res, half_screen_width, agent_radius,
                     want_seen=True, env_block=None, table_patch=None,
-                    patch_rows=(), draw_model=0, skip_dyn=0, interpret=False):
+                    patch_rows=(), draw_model=0, skip_dyn=0, fast_div=False,
+                    interpret=False):
     """:func:`observe` over size-sorted env buckets (:func:`size_groups`): each
     contiguous group runs the kernel with lines/table sliced to the group's own
     padded sizes, and the results concatenate back along the env axis. Safe
@@ -626,7 +640,7 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                        want_seen=want_seen, env_block=env_block,
                        table_patch=table_patch, patch_rows=patch_rows,
                        draw_model=draw_model, skip_dyn=skip_dyn,
-                       interpret=interpret)
+                       fast_div=fast_div, interpret=interpret)
     presplit = table8.ndim == 4
     B = table8.shape[-2] // 8
     outs = []

@@ -21,6 +21,7 @@ run deathm    python bench.py --kind deathmatch
 # 3. A/Bs (see EXPERIMENTS.md §3 for the decision rules).
 run fbE16     python perf/fused_bench.py --envs 4096 --agents 4 --res 512 --env-block 16 --no-seen --which fused
 run fbE32     python perf/fused_bench.py --envs 4096 --agents 4 --res 512 --env-block 32 --no-seen --which fused
+run fbFD      python perf/fused_bench.py --envs 4096 --agents 4 --res 512 --no-seen --which fused --fast-div
 echo ALL DONE
 run explorerF python bench.py --fast
 run deathmF   python bench.py --kind deathmatch --fast

@@ -27,6 +27,8 @@ def main():
     p.add_argument('--env-block', type=int, default=None)
     p.add_argument('--which', default='both', choices=['both', 'split', 'fused'])
     p.add_argument('--no-seen', action='store_true')
+    p.add_argument('--fast-div', action='store_true',
+                   help='reciprocal-multiply raycast (~1 ulp s/t drift)')
     p.add_argument('--draw-mode', default='xla',
                    choices=['xla', 'kernel', 'skip'],
                    help="'kernel' = in-kernel model draw (draw_model), "
@@ -103,7 +105,8 @@ def main():
         out = fused.observe(
             lines_in, attrs_in, table8,
             scn.lines_width, ag.angles, ag.positions, args.res,
-            c.half_screen_width, c.agent_radius, **kw)
+            c.half_screen_width, c.agent_radius,
+            fast_div=args.fast_div, **kw)
         acc = out.screen.mean() + out.distances.min()
         if not args.no_seen:
             acc = acc + (out.seen_counts > 0).sum()

@@ -535,3 +535,25 @@ def test_grouped_composes_with_skip_dyn_and_draw_model():
     np.testing.assert_allclose(np.asarray(full2.screen),
                                np.asarray(grouped2.screen), rtol=2e-6,
                                atol=1e-6)
+
+
+def test_fast_div_close_to_exact():
+    """fast_div (reciprocal-multiply raycast, opt-in) stays within a few ulps
+    of the exact path: identical indices on non-degenerate scenes, distances
+    to ~1e-6 relative, screens to shade tolerance."""
+    scn, c, agents = _setup()
+    lines_now = render.draw(scn, agents)
+    attrs = fused.line_attrs(lines_now, scn)
+    t8 = fused.split_table8(fused.pack_table8(scn), 3)
+    args = (scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius)
+    exact = fused.observe(lines_now, attrs, t8, *args, want_seen=False,
+                          env_block=2, interpret=True)
+    fast = fused.observe(lines_now, attrs, t8, *args, want_seen=False,
+                         env_block=2, fast_div=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(exact.indices),
+                                  np.asarray(fast.indices))
+    np.testing.assert_allclose(np.asarray(exact.distances),
+                               np.asarray(fast.distances), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(exact.screen),
+                               np.asarray(fast.screen), rtol=1e-4, atol=1e-6)
