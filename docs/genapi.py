@@ -14,6 +14,7 @@ import sys
 MODULES = [
     'megastep_tpu.core', 'megastep_tpu.scene', 'megastep_tpu.geometry',
     'megastep_tpu.toys', 'megastep_tpu.floorplans', 'megastep_tpu.cubicasa',
+    'megastep_tpu.polygons',
     'megastep_tpu.modules', 'megastep_tpu.spaces', 'megastep_tpu.plotting',
     'megastep_tpu.ragged', 'megastep_tpu.pytree', 'megastep_tpu.constants',
     'megastep_tpu.dotdict', 'megastep_tpu.arrdict',
