@@ -129,10 +129,21 @@ def masks(walls, spaces, res=RES):
 
     if len(walls):
         # A cell counts as wall if the wall passes within half a cell (plus the 1cm
-        # dilation the reference applies) of the cell center.
+        # dilation the reference applies) of the cell center. Tested per wall on
+        # just its bounding-box cell patch — a full (n_walls, H, W) broadcast
+        # churns hundreds of MB on big floorplans for the same answer (cells
+        # outside the padded bbox are provably beyond the threshold).
         threshold = .01 + res / 2
-        d = segment_point_distance(walls[:, None, None, 0], walls[:, None, None, 1], centers[None])
-        out[(d <= threshold).any(0)] = -1
+        h, w = shape
+        for a, b in walls:
+            lo = np.minimum(a, b) - threshold - res
+            hi = np.maximum(a, b) + threshold + res
+            j0, j1 = max(int(lo[0] / res), 0), min(int(np.ceil(hi[0] / res)) + 1, w)
+            i0 = max(int(h - hi[1] / res) - 1, 0)
+            i1 = min(int(np.ceil(h - lo[1] / res)) + 1, h)
+            patch = centers[i0:i1, j0:j1]
+            d = segment_point_distance(a, b, patch)
+            out[i0:i1, j0:j1][d <= threshold] = -1
     return out
 
 
