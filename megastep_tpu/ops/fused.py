@@ -181,8 +181,8 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
     """
     rest = list(rest)
     patch_ref = rest.pop(0) if patch_rows else None
-    idx_ref, dist_ref, r_ref, g_ref, b_ref = rest[:5]
-    rest = rest[5:]
+    idx_ref, dist_ref, rgb_ref = rest[:3]
+    rest = rest[3:]
     seen_ref = rest.pop(0) if want_seen else None
     scratch = rest
     L = lines_ref.shape[2]
@@ -395,9 +395,11 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         idx_ref[0, 0, e:e + 1, :] = jnp.where(found, idx + idx_base,
                                               -1).astype(jnp.int32)
         dist_ref[0, 0, e:e + 1, :] = jnp.where(found, s_sel, jnp.inf) * rlen
-        r_ref[0, 0, e:e + 1, :] = screen[0:1]
-        g_ref[0, 0, e:e + 1, :] = screen[1:2]
-        b_ref[0, 0, e:e + 1, :] = screen[2:3]
+        # One (E, 3R) rgb stream, channels at static lane offsets: XLA's
+        # channel reshape outside is then free instead of a 3-array stack copy.
+        rgb_ref[0, 0, e:e + 1, 0:R] = screen[0:1]
+        rgb_ref[0, 0, e:e + 1, R:2 * R] = screen[1:2]
+        rgb_ref[0, 0, e:e + 1, 2 * R:3 * R] = screen[2:3]
 
         if want_seen:
             # Seen-texel counts (reference explorer.py:34-48): texel index per
@@ -529,9 +531,7 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
     out_shape = [
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.int32),
         jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
-        jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
-        jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32),
-        jax.ShapeDtypeStruct((NB, A, E, res), jnp.float32)]
+        jax.ShapeDtypeStruct((NB, A, E, 3 * res), jnp.float32)]
     if want_seen:
         out_shape += [jax.ShapeDtypeStruct((NB, A, E, B, LO_WIDTH), jnp.bfloat16)]
 
@@ -561,7 +561,9 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         out_specs=[
             pl.BlockSpec((1, 1, E, res), lambda n, a: (n, a, 0, 0),
                          memory_space=pltpu.VMEM)
-            for _ in range(5)] + ([
+            for _ in range(2)] + [
+            pl.BlockSpec((1, 1, E, 3 * res), lambda n, a: (n, a, 0, 0),
+                         memory_space=pltpu.VMEM)] + ([
             pl.BlockSpec((1, 1, E, B, LO_WIDTH), lambda n, a: (n, a, 0, 0, 0),
                          memory_space=pltpu.VMEM)] if want_seen else []))
 
@@ -574,20 +576,23 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
             dimension_semantics=('parallel', 'arbitrary')),
         interpret=interpret,
     )(*operands)
-    idx, dist, r, g, b = outs[:5]
+    idx, dist, rgb = outs[:3]
 
     def to_nar(x):
-        # (NB, A, E, R) -> (N, A, R); for A == 1 this is a pure reshape.
-        return x.transpose(0, 2, 1, 3).reshape(N, A, res)
+        # (NB, A, E, W) -> (N, A, W); for A == 1 this is a pure reshape.
+        W_ = x.shape[-1]
+        return x.transpose(0, 2, 1, 3).reshape(N, A, W_)
 
     out = arrdict(
         indices=to_nar(idx),
         distances=to_nar(dist),
-        screen=jnp.stack([to_nar(r), to_nar(g), to_nar(b)], 2))  # (N, A, 3, R)
+        # The kernel lays channels out at static lane offsets of one (E, 3R)
+        # stream; the channel split here is a free reshape, not a stack copy.
+        screen=to_nar(rgb).reshape(N, A, 3, res))
     if want_seen:
         # (NB, A, E, B, W): sum per-agent counts in f32 (the kernel emits bf16);
         # (B, W) flattens to the texel axis row-major for free.
-        out['seen_counts'] = (outs[5].astype(jnp.float32).sum(1)
+        out['seen_counts'] = (outs[3].astype(jnp.float32).sum(1)
                               .reshape(N, B * LO_WIDTH))
     return out
 
