@@ -1,33 +1,44 @@
-"""Procedural toy geometries (counterpart of ``/root/reference/megastep/toys.py``)."""
+"""Procedural toy geometries: the two single-room scenes every engine test
+starts from (role of ``/root/reference/megastep/toys.py``)."""
 import numpy as np
 
 from . import geometry
 from .dotdict import dotdict
 
+#: Corner offsets of an axis-aligned unit square, CCW from the top-right —
+#: the corner order the frozen goldens pin.
+_CORNERS = np.array([[1., 1.], [-1., 1.], [-1., -1.], [1., -1.]])
+
+
+def _square(half_side, center):
+    """(4, 2) corner array of an axis-aligned square."""
+    return half_side * _CORNERS + center
+
+
+def _ring(corners):
+    """Closed wall loop through the corners, as (4, 2, 2) segments."""
+    return np.stack(geometry.cyclic_pairs(corners))
+
 
 def box(width=5):
-    """A geometry which is just a simple box, with one room and one light inside it."""
-    corners = [(np.cos(t), np.sin(t)) for t in np.arange(np.pi / 4, 2 * np.pi, np.pi / 2)]
-    corners = width / 2**.5 * np.array(corners) + width / 2 + geometry.MARGIN
-    walls = np.stack(geometry.cyclic_pairs(corners))
-    spaces = [corners]
-
+    """One square room of side ``width`` with a single centered light."""
+    center = width / 2 + geometry.MARGIN
+    room = _square(width / 2, center)
     return dotdict(
-        walls=walls,
-        lights=np.full((1, 2), width / 2 + geometry.MARGIN),
-        masks=geometry.masks(walls, spaces),
+        walls=_ring(room),
+        lights=np.full((1, 2), center),
+        masks=geometry.masks(_ring(room), [room]),
         res=geometry.RES)
 
 
 def column(width=5, column_width=.1):
-    """A geometry which is just a small 'column' (a tiny box), with one room around it."""
-    corners = [(np.cos(t), np.sin(t)) for t in np.arange(np.pi / 4, 2 * np.pi, np.pi / 2)]
-    column_corners = column_width / 2**.5 * np.array(corners) + width / 2 + geometry.MARGIN
-    walls = np.stack(geometry.cyclic_pairs(column_corners))
-    spaces = [width / 2**.5 * np.array(corners) + width / 2 + geometry.MARGIN]
-
+    """A free-standing square column of side ``column_width`` in the middle of
+    an (unwalled) square room, lit from four surrounding corners."""
+    center = width / 2 + geometry.MARGIN
+    pillar = _square(column_width / 2, center)
+    room = _square(width / 2, center)
     return dotdict(
-        walls=walls,
-        lights=2**.5 * np.array(corners) + width / 2 + geometry.MARGIN,
-        masks=geometry.masks(walls, spaces),
+        walls=_ring(pillar),
+        lights=_square(1., center),
+        masks=geometry.masks(_ring(pillar), [room]),
         res=geometry.RES)
