@@ -36,6 +36,10 @@ MEGASTEP_TPU_CUBICASA_AGREE=1 to confirm you accept these terms."""
 
 N_TEST = 500
 
+#: Bump when the SVG→geometry conversion changes meaning (coordinates,
+#: booleans, door handling) — stale geometry caches are ignored by name.
+CACHE_VERSION = 2
+
 
 def confirm():
     """License confirmation gate (reference ``cubicasa.py:39-63``): refuses to
@@ -161,7 +165,10 @@ def geometry_data(regenerate=False, backend='process'):
 
     :param backend: pool backend for the conversion ('process'/'thread'/'serial').
     """
-    cache = ROOT / 'geometries.pkl.gz'
+    # The version is part of the cache name: conversion-semantics changes
+    # (y-flip, hole rings, door dilation) must not be served from a stale
+    # cache built by an older parser.
+    cache = ROOT / f'geometries-v{CACHE_VERSION}.pkl.gz'
     if cache.exists() and not regenerate:
         with gzip.open(cache, 'rb') as f:
             return pickle.load(f)
@@ -171,11 +178,17 @@ def geometry_data(regenerate=False, backend='process'):
     zpath = ROOT / 'cubicasa5k.zip'
     if not zpath.exists():
         download()
-    with zipfile.ZipFile(zpath) as z:
+    # Stream entries out of the zip in bounded batches — the full dataset's
+    # SVGs are hundreds of MB and pending submissions pin their arguments, so
+    # an unbounded fan-out would hold them all resident at once.
+    geoms = []
+    with zipfile.ZipFile(zpath) as z, \
+            parallel(safe_geometry, backend=backend) as pool:
         names = sorted(n for n in z.namelist() if n.endswith('model.svg'))
-        svgs = {n: z.read(n).decode('utf8') for n in names}
-    with parallel(safe_geometry, backend=backend) as pool:
-        geoms = pool.wait([pool(n, svgs[n]) for n in names])
+        for i in range(0, len(names), 64):
+            batch = names[i:i + 64]
+            geoms += pool.wait([pool(n, z.read(n).decode('utf8'))
+                                for n in batch])
     geoms = [g for g in geoms if g is not None]
     cache.parent.mkdir(parents=True, exist_ok=True)
     with gzip.open(cache, 'wb') as f:

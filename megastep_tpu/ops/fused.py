@@ -663,7 +663,8 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
             lines_width[g0:g1], angles[g0:g1], positions[g0:g1], res,
             half_screen_width, agent_radius, want_seen=want_seen,
             env_block=env_block, table_patch=pg, patch_rows=rg,
-            draw_model=draw_model, skip_dyn=skip_dyn, interpret=interpret))
+            draw_model=draw_model, skip_dyn=skip_dyn, fast_div=fast_div,
+            interpret=interpret))
     out = arrdict(
         indices=jnp.concatenate([o.indices for o in outs]),
         distances=jnp.concatenate([o.distances for o in outs]),

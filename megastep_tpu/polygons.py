@@ -178,12 +178,24 @@ def boundary_segments(solids, cuts=(), eps=1e-6):
 
 
 def _dedupe(segments, tol=EPS):
-    """Drops segments identical to an earlier one (either direction)."""
+    """Drops segments identical to an earlier one (either direction).
+
+    O(N log N): endpoints quantize to the tolerance grid and each segment
+    canonicalizes to its lexicographically-smaller direction, so duplicates
+    (which come from exactly-coincident geometry) collapse under np.unique —
+    a pairwise-distance matrix over thousands of boundary pieces would burn
+    GBs per floorplan under the conversion pool's fan-out.
+    """
     if not len(segments):
         return segments
-    d_fwd = np.linalg.norm(segments[:, None] - segments[None], axis=-1).sum(-1)
-    d_rev = np.linalg.norm(segments[:, None] - segments[None, :, ::-1],
-                           axis=-1).sum(-1)
-    dup = (d_fwd < tol) | (d_rev < tol)
-    dup[np.triu_indices_from(dup)] = False
-    return segments[~dup.any(1)]
+    q = np.round(segments / tol).astype(np.int64)
+    fwd = q.reshape(len(q), -1)
+    rev = q[:, ::-1].reshape(len(q), -1)
+    # Per row, the lexicographically smaller of (fwd, rev).
+    diff = fwd != rev
+    col = diff.argmax(1)
+    rows = np.arange(len(q))
+    swap = diff.any(1) & (rev[rows, col] < fwd[rows, col])
+    canon = np.where(swap[:, None], rev, fwd)
+    _, keep = np.unique(canon, axis=0, return_index=True)
+    return segments[np.sort(keep)]

@@ -9,8 +9,11 @@ python docs/build.py
 
 branch=$(git rev-parse --abbrev-ref HEAD)
 git branch --delete --force gh-pages 2>/dev/null || true
+# The orphan checkout keeps the whole tree staged; committing it all and then
+# subdirectory-filtering to the site removes the other files from the worktree,
+# so the final checkout back is clean (a `git reset` here leaves everything
+# untracked and the checkout refuses to overwrite it).
 git checkout --orphan gh-pages
-git reset
 git add -f docs/_site
 git commit -m "Rebuild GitHub pages"
 git filter-branch -f --prune-empty --subdirectory-filter docs/_site

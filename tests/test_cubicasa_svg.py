@@ -166,7 +166,7 @@ def test_geometry_data_zip_to_cache(tmp_path, monkeypatch):
 
     geoms = cubicasa.geometry_data()
     assert len(geoms) == 2              # the bad entry is skipped with a warning
-    assert (tmp_path / 'geometries.pkl.gz').exists()
+    assert (tmp_path / f'geometries-v{cubicasa.CACHE_VERSION}.pkl.gz').exists()
     assert {g.id for g in geoms} == {'cubicasa5k/plans/0/model.svg',
                                      'cubicasa5k/plans/1/model.svg'}
     # Cache round-trip: a second call must not need the zip.
