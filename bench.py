@@ -10,7 +10,6 @@ vs_baseline is the multiple of the reference's 180k FPS.
 """
 import argparse
 import json
-import signal
 import sys
 import time
 
@@ -43,26 +42,28 @@ def _looks_backend_down(exc):
 
 
 def probe_backend(deadline_s=240):
-    """Touch the backend once, under a hard alarm, before any expensive work.
+    """Touch the backend once, in a SUBPROCESS under a hard timeout, before any
+    expensive work.
 
     When the axon tunnel is down, ``jax.devices()`` either raises UNAVAILABLE
-    after ~1-2 min or wedges; both must turn into a fast, distinct exit rather
-    than the retry/halve loop (round 2's capture died rc=124 this way).
+    after ~1-2 min or wedges *inside C++ without releasing the GIL* — a
+    SIGALRM handler never runs (measured: an in-process alarm slept through a
+    6m40s hang), so the probe must be a child process the OS can kill. Both
+    failure shapes turn into a fast, distinct exit rather than the retry/halve
+    loop (round 2's capture died rc=124 on exactly this).
     """
-    def _on_alarm(signum, frame):
-        raise TimeoutError(f'backend probe exceeded {deadline_s}s')
-    old = signal.signal(signal.SIGALRM, _on_alarm)
-    signal.alarm(deadline_s)
+    import subprocess
+    code = ("import jax, jax.numpy as jnp; jax.devices(); "
+            "jnp.zeros(8).sum().block_until_ready(); print('PROBE_OK')")
     try:
-        devs = jax.devices()
-        # A trivial dispatch proves the tunnel routes, not just enumerates.
-        jnp.zeros(8).sum().block_until_ready()
-        return devs
-    except Exception as e:  # noqa: BLE001 — any init failure means "down"
-        _bail_backend_down('probe', e)
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+        r = subprocess.run([sys.executable, '-c', code],
+                           capture_output=True, text=True, timeout=deadline_s)
+    except subprocess.TimeoutExpired:
+        _bail_backend_down(
+            'probe', TimeoutError(f'backend probe exceeded {deadline_s}s'))
+    if r.returncode != 0 or 'PROBE_OK' not in r.stdout:
+        detail = (r.stderr.strip() or f'probe exited {r.returncode}')[-300:]
+        _bail_backend_down('probe', RuntimeError(detail))
 
 
 def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3,
