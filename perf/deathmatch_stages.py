@@ -1,0 +1,166 @@
+"""Deathmatch step decomposition on chip: where do the milliseconds go?
+
+Times each stage of the Deathmatch step independently under a ``lax.scan``
+(amortizing the ~30 ms axon dispatch), with a live carry perturbation so XLA
+cannot hoist the loop body:
+
+- ``full``      — the production ``env.step`` (respawn + move + observe/shoot)
+- ``observe``   — ``env._observe`` alone (rebake + kernel + epilogue)
+- ``kernel``    — the fused observe kernel alone (static table, no patch)
+- ``rebake``    — draw_dynamic + dynamic re-bake + table patch pack
+- ``epilogue``  — downsample / shoot / obs assembly from a precomputed render
+- ``physics``   — respawn + momentum movement alone
+
+Decision input for the res-512 optimization queue (perf/EXPERIMENTS.md §4):
+whichever stage dominates after the round's levers is the next target. Usage::
+
+    python perf/deathmatch_stages.py --envs 4096 [--draw-fused] [--stages full,observe]
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def perturbed(agents, carry):
+    return type(agents)(
+        angles=agents.angles + carry, positions=agents.positions,
+        angvelocity=agents.angvelocity, velocity=agents.velocity)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--envs', type=int, default=4096)
+    p.add_argument('--steps', type=int, default=16)
+    p.add_argument('--draw-fused', action='store_true')
+    p.add_argument('--stages', default='full,observe,kernel,rebake,epilogue,physics')
+    args = p.parse_args()
+
+    from megastep_tpu import modules, toys
+    from megastep_tpu.envs.deathmatch import Deathmatch, collapse
+    from megastep_tpu.ops import fused as fused_ops, render as render_ops
+    from megastep_tpu.arrdict import arrdict
+
+    n_agents = 4
+    geoms = [toys.box() for _ in range(max(args.envs // n_agents, 1))]
+    env = Deathmatch(args.envs, geometries=geoms, draw_fused=args.draw_fused,
+                     fused=True, random=np.random.RandomState(0))
+    c = env.core
+    scn = c.scenery
+    key = jax.random.PRNGKey(0)
+    state, _ = jax.jit(env.reset)(key)
+    agents, health, damage = state.agents, state.health, state.damage
+    actions = jnp.zeros((env.n_envs, 1), jnp.int32)
+    print(f'N={c.n_envs} A={c.n_agents} res={c.res} L={scn.lines.shape[1]} '
+          f'T={scn.baked.shape[1]} draw_fused={env.draw_fused}')
+
+    # Precomputed inputs for the isolated stages.
+    dyn_lines0 = render_ops.draw_dynamic(scn, agents)
+    out0 = None
+    if 'epilogue' in args.stages:
+        out0 = jax.jit(lambda ag: fused_ops.observe_grouped(
+            env._groups, scn.lines, env._attrs_static, env._table8,
+            scn.lines_width, ag.angles, ag.positions, c.res,
+            c.half_screen_width, c.agent_radius, want_seen=False,
+            draw_model=scn.n_model_lines,
+            interpret=not modules.on_tpu()))(agents)
+        jax.block_until_ready(out0)
+
+    def full(env, carry, _):
+        st = arrdict(agents=perturbed(agents, carry), progress=health * 0 + 1,
+                     health=health, damage=damage,
+                     matchings=state.matchings)
+        st2, world = env.step(st, arrdict(actions=actions),
+                              jax.random.PRNGKey(1))
+        # Consume every output (obs included) so XLA cannot dead-code-eliminate
+        # the parts of the step a real training loop would read.
+        return carry + 1e-4, (world.reward.sum() + st2.health.sum()
+                              + world.obs.rgb.mean() + world.obs.d.mean()
+                              + world.obs.imu.sum())
+
+    def observe(env, carry, _):
+        obs, h, d, m, r = env._observe(perturbed(agents, carry), health, damage)
+        return carry + 1e-4, obs.rgb.mean() + h.sum() + r.sum()
+
+    def kernel(env, carry, _):
+        ag = perturbed(agents, carry)
+        kw = dict(draw_model=scn.n_model_lines) if env.draw_fused else {}
+        if env.draw_fused:
+            lines_in, attrs_in = scn.lines, env._attrs_static
+        else:
+            lines_in = scn.lines.at[:, :scn.n_dynamic].set(
+                render_ops.draw_dynamic(scn, ag))
+            attrs_in = fused_ops.line_attrs(lines_in, scn)
+        out = fused_ops.observe_grouped(
+            env._groups, lines_in, attrs_in, env._table8,
+            scn.lines_width, ag.angles, ag.positions, c.res,
+            c.half_screen_width, c.agent_radius, want_seen=False,
+            interpret=not modules.on_tpu(), **kw)
+        return carry + 1e-4, out.screen.mean() + out.distances.min()
+
+    def rebake(env, carry, _):
+        ag = perturbed(agents, carry)
+        dyn_lines = render_ops.draw_dynamic(scn, ag)
+        dyn = env._rebake(scn, dyn_lines)
+        patch = fused_ops.pack_table8_patch(scn, dyn, splits=env._shade_splits)
+        return carry + 1e-4, sum(p.sum() for p in jax.tree.leaves(patch))
+
+    def epilogue(env, carry, _):
+        # Thread the carry through the precomputed render so XLA cannot hoist
+        # the loop body as invariant.
+        out = arrdict({**out0, 'screen': out0.screen + carry})
+        s = env._rgb.subsample
+        line_idxs = modules.downsample(out.indices, s)[..., s // 2][:, :, None]
+        opp = env._opponents(line_idxs)
+        h, d, m, hits = env._shoot(agents, health + carry, damage, opp)
+        rgb, dd = modules.fused_obs(out, s, c.agent_radius,
+                                    env._depth.max_depth)
+        return carry + 1e-4, rgb.mean() + dd.mean() + h.sum() + hits.sum()
+
+    def physics(env, carry, _):
+        reset = (health + carry) <= 0
+        ag, h, d = env._respawn(perturbed(agents, carry), health, damage,
+                                reset, jax.random.PRNGKey(1))
+        ag, progress = env._movement(ag, collapse(arrdict(actions=actions),
+                                                  c.n_agents))
+        return carry + 1e-4, ag.positions.sum() + progress.sum() + h.sum()
+
+    stages = {f.__name__: f for f in (full, observe, kernel, rebake,
+                                      epilogue, physics)}
+    results = {}
+    for name in args.stages.split(','):
+        fn = stages[name]
+
+        @jax.jit
+        def scan(env):
+            return jax.lax.scan(lambda carry, x: fn(env, carry, x),
+                                jnp.zeros(()), jnp.arange(args.steps))
+
+        t0 = time.perf_counter()
+        _, out = scan(env)
+        jax.block_until_ready(out)
+        compile_t = time.perf_counter() - t0
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, out = scan(env)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / args.steps)
+        results[name] = best
+        print(f'{name}: {best * 1e3:.3f} ms/step '
+              f'({env.n_envs / best:,.0f} agent-steps/s) '
+              f'[first call {compile_t:.1f}s]')
+    if 'full' in results:
+        acc = sum(v for k, v in results.items()
+                  if k in ('kernel', 'rebake', 'epilogue', 'physics'))
+        print(f'stage sum {acc * 1e3:.3f} ms vs full {results["full"] * 1e3:.3f} ms')
+
+
+if __name__ == '__main__':
+    main()
