@@ -11,8 +11,12 @@ cannot hoist the loop body:
 - ``epilogue``  — downsample / shoot / obs assembly from a precomputed render
 - ``physics``   — respawn + momentum movement alone
 
-Decision input for the res-512 optimization queue (perf/EXPERIMENTS.md §4):
-whichever stage dominates after the round's levers is the next target. Usage::
+Scenes default to sampled floorplans — the same workload as
+``bench.py --kind deathmatch`` — so the proportions reflect production line
+and texel counts (the kernel's costs scale with both); ``--toy`` swaps in
+toys.box() for a quick structural check. Decision input for the res-512
+optimization queue (perf/EXPERIMENTS.md §4): whichever stage dominates after
+the round's levers is the next target. Usage::
 
     python perf/deathmatch_stages.py --envs 4096 [--draw-fused] [--stages full,observe]
 """
@@ -39,16 +43,25 @@ def main():
     p.add_argument('--envs', type=int, default=4096)
     p.add_argument('--steps', type=int, default=16)
     p.add_argument('--draw-fused', action='store_true')
+    p.add_argument('--toy', action='store_true',
+                   help='toys.box() scenes instead of sampled floorplans '
+                        '(structural check only — toy line/texel counts do '
+                        'not reflect the production kernel cost)')
     p.add_argument('--stages', default='full,observe,kernel,rebake,epilogue,physics')
     args = p.parse_args()
 
-    from megastep_tpu import modules, toys
+    from megastep_tpu import floorplans, modules, toys
     from megastep_tpu.envs.deathmatch import Deathmatch, collapse
     from megastep_tpu.ops import fused as fused_ops, render as render_ops
     from megastep_tpu.arrdict import arrdict
 
     n_agents = 4
-    geoms = [toys.box() for _ in range(max(args.envs // n_agents, 1))]
+    n_scenes = max(args.envs // n_agents, 1)
+    if args.toy:
+        geoms = [toys.box() for _ in range(n_scenes)]
+    else:
+        geoms = floorplans.sample(min(n_scenes, 512))
+        geoms = [geoms[i % len(geoms)] for i in range(n_scenes)]
     env = Deathmatch(args.envs, geometries=geoms, draw_fused=args.draw_fused,
                      fused=True, random=np.random.RandomState(0))
     c = env.core
@@ -60,8 +73,11 @@ def main():
     print(f'N={c.n_envs} A={c.n_agents} res={c.res} L={scn.lines.shape[1]} '
           f'T={scn.baked.shape[1]} draw_fused={env.draw_fused}')
 
-    # Precomputed inputs for the isolated stages.
-    dyn_lines0 = render_ops.draw_dynamic(scn, agents)
+    # Precomputed render for the epilogue stage. Stage inputs (out0, agents,
+    # health, damage, actions) are threaded through the jitted scan as
+    # ARGUMENTS — closing over device arrays would bake tens of MB of
+    # full-res screens into the program as literal constants (the HTTP-413
+    # failure mode through the axon compile tunnel; see bench.py).
     out0 = None
     if 'epilogue' in args.stages:
         out0 = jax.jit(lambda ag: fused_ops.observe_grouped(
@@ -71,12 +87,16 @@ def main():
             draw_model=scn.n_model_lines,
             interpret=not modules.on_tpu()))(agents)
         jax.block_until_ready(out0)
+    inputs = arrdict(agents=agents, health=health, damage=damage,
+                     actions=actions, matchings=state.matchings,
+                     out0=out0 if out0 is not None else {})
 
-    def full(env, carry, _):
-        st = arrdict(agents=perturbed(agents, carry), progress=health * 0 + 1,
-                     health=health, damage=damage,
-                     matchings=state.matchings)
-        st2, world = env.step(st, arrdict(actions=actions),
+    def full(env, inp, carry, _):
+        st = arrdict(agents=perturbed(inp.agents, carry),
+                     progress=inp.health * 0 + 1,
+                     health=inp.health, damage=inp.damage,
+                     matchings=inp.matchings)
+        st2, world = env.step(st, arrdict(actions=inp.actions),
                               jax.random.PRNGKey(1))
         # Consume every output (obs included) so XLA cannot dead-code-eliminate
         # the parts of the step a real training loop would read.
@@ -84,12 +104,13 @@ def main():
                               + world.obs.rgb.mean() + world.obs.d.mean()
                               + world.obs.imu.sum())
 
-    def observe(env, carry, _):
-        obs, h, d, m, r = env._observe(perturbed(agents, carry), health, damage)
+    def observe(env, inp, carry, _):
+        obs, h, d, m, r = env._observe(perturbed(inp.agents, carry),
+                                       inp.health, inp.damage)
         return carry + 1e-4, obs.rgb.mean() + h.sum() + r.sum()
 
-    def kernel(env, carry, _):
-        ag = perturbed(agents, carry)
+    def kernel(env, inp, carry, _):
+        ag = perturbed(inp.agents, carry)
         kw = dict(draw_model=scn.n_model_lines) if env.draw_fused else {}
         if env.draw_fused:
             lines_in, attrs_in = scn.lines, env._attrs_static
@@ -104,30 +125,37 @@ def main():
             interpret=not modules.on_tpu(), **kw)
         return carry + 1e-4, out.screen.mean() + out.distances.min()
 
-    def rebake(env, carry, _):
-        ag = perturbed(agents, carry)
+    def rebake(env, inp, carry, _):
+        ag = perturbed(inp.agents, carry)
         dyn_lines = render_ops.draw_dynamic(scn, ag)
         dyn = env._rebake(scn, dyn_lines)
         patch = fused_ops.pack_table8_patch(scn, dyn, splits=env._shade_splits)
         return carry + 1e-4, sum(p.sum() for p in jax.tree.leaves(patch))
 
-    def epilogue(env, carry, _):
-        # Thread the carry through the precomputed render so XLA cannot hoist
-        # the loop body as invariant.
-        out = arrdict({**out0, 'screen': out0.screen + carry})
+    def epilogue(env, inp, carry, _):
+        # Perturb EVERY consumed field of the precomputed render — screen,
+        # distances, and indices each feed a separate consumer chain
+        # (shade/obs, depth, _opponents), and any left loop-invariant would
+        # let XLA hoist that chain out of the scan and under-time the stage.
+        izero = (carry * 0).astype(inp.out0.indices.dtype)
+        out = arrdict({**inp.out0,
+                       'screen': inp.out0.screen + carry,
+                       'distances': inp.out0.distances + carry,
+                       'indices': inp.out0.indices + izero})
         s = env._rgb.subsample
         line_idxs = modules.downsample(out.indices, s)[..., s // 2][:, :, None]
         opp = env._opponents(line_idxs)
-        h, d, m, hits = env._shoot(agents, health + carry, damage, opp)
+        h, d, m, hits = env._shoot(inp.agents, inp.health + carry,
+                                   inp.damage, opp)
         rgb, dd = modules.fused_obs(out, s, c.agent_radius,
                                     env._depth.max_depth)
         return carry + 1e-4, rgb.mean() + dd.mean() + h.sum() + hits.sum()
 
-    def physics(env, carry, _):
-        reset = (health + carry) <= 0
-        ag, h, d = env._respawn(perturbed(agents, carry), health, damage,
-                                reset, jax.random.PRNGKey(1))
-        ag, progress = env._movement(ag, collapse(arrdict(actions=actions),
+    def physics(env, inp, carry, _):
+        reset = (inp.health + carry) <= 0
+        ag, h, d = env._respawn(perturbed(inp.agents, carry), inp.health,
+                                inp.damage, reset, jax.random.PRNGKey(1))
+        ag, progress = env._movement(ag, collapse(arrdict(actions=inp.actions),
                                                   c.n_agents))
         return carry + 1e-4, ag.positions.sum() + progress.sum() + h.sum()
 
@@ -138,18 +166,18 @@ def main():
         fn = stages[name]
 
         @jax.jit
-        def scan(env):
-            return jax.lax.scan(lambda carry, x: fn(env, carry, x),
+        def scan(env, inputs):
+            return jax.lax.scan(lambda carry, x: fn(env, inputs, carry, x),
                                 jnp.zeros(()), jnp.arange(args.steps))
 
         t0 = time.perf_counter()
-        _, out = scan(env)
+        _, out = scan(env, inputs)
         jax.block_until_ready(out)
         compile_t = time.perf_counter() - t0
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
-            _, out = scan(env)
+            _, out = scan(env, inputs)
             jax.block_until_ready(out)
             best = min(best, (time.perf_counter() - t0) / args.steps)
         results[name] = best
@@ -159,7 +187,11 @@ def main():
     if 'full' in results:
         acc = sum(v for k, v in results.items()
                   if k in ('kernel', 'rebake', 'epilogue', 'physics'))
-        print(f'stage sum {acc * 1e3:.3f} ms vs full {results["full"] * 1e3:.3f} ms')
+        # Stages overlap: kernel/rebake/physics each re-run draw_dynamic (and
+        # kernel rebuilds line_attrs) in the default mode, so sum > full means
+        # double-counted draw work, not missing coverage.
+        print(f'stage sum {acc * 1e3:.3f} ms vs full {results["full"] * 1e3:.3f} ms '
+              '(stages double-count draw_dynamic/line_attrs; sum > full expected)')
 
 
 if __name__ == '__main__':
