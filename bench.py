@@ -67,7 +67,7 @@ def probe_backend(deadline_s=240):
 
 
 def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3,
-          draw_fused=False):
+          draw_fused=False, obs_groups=None):
     from megastep_tpu import floorplans
     from megastep_tpu.envs import Deathmatch, Explorer
     if kind == 'deathmatch':
@@ -78,11 +78,11 @@ def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3,
         geoms = [geoms[i % len(geoms)] for i in range(n_scenes)]
         return Deathmatch(n_envs, n_agents=4, geometries=geoms, res=res,
                           subsample=subsample, shade_splits=shade_splits,
-                          draw_fused=draw_fused)
+                          draw_fused=draw_fused, obs_groups=obs_groups)
     geoms = floorplans.sample(min(n_envs, 512))
     geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
     return Explorer(n_envs, geometries=geoms, res=res, subsample=subsample,
-                    shade_splits=shade_splits)
+                    shade_splits=shade_splits, obs_groups=obs_groups)
 
 
 def bench(env, steps=64, reps=3):
@@ -134,6 +134,10 @@ def main():
     p.add_argument('--draw-fused', action='store_true',
                    help='deathmatch: rotate agent models inside the observe '
                         'kernel (bit-exact; skips the XLA-side draw)')
+    p.add_argument('--obs-groups', type=int, default=None,
+                   help='size-bucket count for the fused observe (1 disables '
+                        'bucketing; default: the env\'s own default of 4). '
+                        'A/B knob for the bucketing lever.')
     args = p.parse_args()
 
     if args.draw_fused and args.kind != 'deathmatch':
@@ -149,7 +153,7 @@ def main():
     def attempt_once(n):
         env = build(n, res=res, kind=args.kind,
                     shade_splits=2 if args.fast else 3,
-                    draw_fused=args.draw_fused)
+                    draw_fused=args.draw_fused, obs_groups=args.obs_groups)
         return bench(env, steps=args.steps)
 
     n_envs = args.envs
