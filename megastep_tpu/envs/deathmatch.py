@@ -37,7 +37,7 @@ def collapse(x, n_agents):
 
 
 @pytree('core', '_rgb', '_depth', '_imu', '_movement', '_spawner', '_bounds',
-        '_table8', '_attrs_static')
+        '_table8', '_lines_static', '_attrs_static')
 class Deathmatch:
     """Multi-agent combat (see module docstring).
 
@@ -105,20 +105,26 @@ class Deathmatch:
         self.draw_fused = draw_fused
         if self._use_fused:
             from ..ops import fused as fused_ops
-            # shade_splits=2 is the opt-in fast mode: ~1.5e-5 relative shade
-            # error (vs exact f32 at 3) for one less MXU pass per lookup.
-            self._table8 = fused_ops.split_table8(
-                fused_ops.pack_table8(scenery), splits=shade_splits)
             # obs_groups=1 disables bucketing (multi-host SPMD: per-host group
             # specs would diverge into different compiled programs).
             self._groups = fused_ops.size_groups(
                 scenery.lines_width, scenery.tex_width,
                 n_groups=4 if obs_groups is None else obs_groups)
-            self._attrs_static = fused_ops.line_attrs(scenery.lines, scenery)
+            # shade_splits=2 is the opt-in fast mode: ~1.5e-5 relative shade
+            # error (vs exact f32 at 3) for one less MXU pass per lookup.
+            # Static inputs are pre-sliced per size group — an in-step slice
+            # of a static table re-copies it every frame
+            # (ops.fused.group_tables).
+            self._table8 = fused_ops.group_tables(
+                self._groups, fused_ops.split_table8(
+                    fused_ops.pack_table8(scenery), splits=shade_splits))
+            self._lines_static, self._attrs_static = fused_ops.group_lines(
+                self._groups, scenery.lines,
+                fused_ops.line_attrs(scenery.lines, scenery))
         else:
             self._table8 = None
             self._groups = ()
-            self._attrs_static = None
+            self._lines_static = self._attrs_static = None
 
     def _respawn(self, agents, health, damage, reset, key):
         agents = self._spawner(agents, reset, key)
@@ -204,10 +210,10 @@ class Deathmatch:
             baked_now = scn.baked.at[:, :scn.n_dynamic_texels].set(dyn)
             table8, patch, rows = fused_ops.pack_table8(scn, baked_now), None, ()
         if self.draw_fused and self._attrs_static is not None:
-            # In-kernel draw: static lines/attrs in, the kernel rotates the
-            # model slots per agent itself — no per-step full-line-array
-            # update or attrs rebuild.
-            lines_in, attrs_in = scn.lines, self._attrs_static
+            # In-kernel draw: static (pre-sliced) lines/attrs in, the kernel
+            # rotates the model slots per agent itself — no per-step
+            # full-line-array update or attrs rebuild.
+            lines_in, attrs_in = self._lines_static, self._attrs_static
             dm = scn.n_model_lines
         else:
             lines_in = scn.lines.at[:, :scn.n_dynamic].set(dyn_lines)

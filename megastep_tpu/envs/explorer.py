@@ -63,16 +63,20 @@ class Explorer:
         # path can actually run (scenery is immutable, so it cannot go stale).
         if self._use_fused:
             from ..ops import fused as fused_ops
-            # shade_splits=2 is the opt-in fast mode: ~1.5e-5 relative shade
-            # error (vs exact f32 at 3) for one less MXU pass per lookup.
-            self._table8 = fused_ops.split_table8(
-                fused_ops.pack_table8(scenery), splits=shade_splits)
             # obs_groups=1 disables bucketing — required in multi-host SPMD,
             # where per-host group specs would diverge into different compiled
             # programs (parallel.host passes it).
             self._groups = fused_ops.size_groups(
                 scenery.lines_width, scenery.tex_width,
                 n_groups=4 if obs_groups is None else obs_groups)
+            # shade_splits=2 is the opt-in fast mode: ~1.5e-5 relative shade
+            # error (vs exact f32 at 3) for one less MXU pass per lookup.
+            # The static table is pre-sliced per size group: slicing it inside
+            # the step re-copies hundreds of MB of table every frame
+            # (ops.fused.group_tables).
+            self._table8 = fused_ops.group_tables(
+                self._groups, fused_ops.split_table8(
+                    fused_ops.pack_table8(scenery), splits=shade_splits))
             # Static observe inputs, skipping the per-step draw: with one agent
             # every model vertex sits strictly inside the camera near plane
             # (max ‖vertex‖ = width/2·√1.25 < radius = width/√2), so a drawn
@@ -84,9 +88,11 @@ class Explorer:
             model_norm = float(np.linalg.norm(
                 np.asarray(scenery.model), axis=-1).max())
             if scenery.n_agents == 1 and model_norm < self.core.agent_radius:
-                self._lines_static = scenery.lines
-                self._attrs_static = fused_ops.line_attrs(scenery.lines,
-                                                          scenery)
+                # Pre-sliced per size group, like the table (a per-step slice
+                # of a static input is a per-step copy).
+                self._lines_static, self._attrs_static = fused_ops.group_lines(
+                    self._groups, scenery.lines,
+                    fused_ops.line_attrs(scenery.lines, scenery))
             else:
                 self._lines_static = self._attrs_static = None
         else:

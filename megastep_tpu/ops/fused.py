@@ -624,6 +624,32 @@ def size_groups(lines_width, tex_width, n_groups=4, gran=64):
         for g0 in range(0, N, size))
 
 
+def group_tables(groups, table8):
+    """Pre-slices a (pre-split) shade table into per-group arrays for
+    :func:`observe_grouped`. Call ONCE at env construction for static tables:
+    a per-step ``table8[g0:g1, :, :8*Bg]`` inside the jitted step materializes
+    a fresh copy of the whole multi-hundred-MB table every frame (pallas_call
+    operands can't alias a strided slice) — measured as the round-3 Explorer
+    regression (1.72M → 1.45M steps/s at 16k envs)."""
+    if len(groups) <= 1:
+        return table8
+    presplit = table8.ndim == 4
+    return tuple(
+        (table8[g0:g1, :, :8 * Bg, :] if presplit
+         else table8[g0:g1, :8 * Bg, :])
+        for g0, g1, Lg, Bg in groups)
+
+
+def group_lines(groups, lines_now, attrs):
+    """Pre-slices static lines/attrs per group (same per-step-copy argument as
+    :func:`group_tables`; for per-step drawn lines the slice is small and can
+    stay in-step). Returns ``(lines_tuple, attrs_tuple)``."""
+    if len(groups) <= 1:
+        return lines_now, attrs
+    return (tuple(lines_now[g0:g1, :Lg] for g0, g1, Lg, _ in groups),
+            tuple(attrs[g0:g1, :, :Lg] for g0, g1, Lg, _ in groups))
+
+
 def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                     positions, res, half_screen_width, agent_radius,
                     want_seen=True, env_block=None, table_patch=None,
@@ -634,6 +660,11 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
     padded sizes, and the results concatenate back along the env axis. Safe
     because the table's roll-concat hi channels are never consumed across a
     line boundary, so rows beyond a group's own blocks are dead weight.
+
+    ``lines_now``/``attrs``/``table8`` may each be a full array (sliced here,
+    per step — fine for small per-frame inputs) or a per-group tuple from
+    :func:`group_lines`/:func:`group_tables` (the right form for static
+    inputs: a per-step slice of a static table re-copies it every frame).
 
     Indices match the ungrouped kernel exactly; float outputs can drift ~1 ULP
     because XLA's fusion decisions differ between the sliced and full-shape
@@ -646,12 +677,22 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                        table_patch=table_patch, patch_rows=patch_rows,
                        draw_model=draw_model, skip_dyn=skip_dyn,
                        fast_div=fast_div, interpret=interpret)
-    presplit = table8.ndim == 4
-    B = table8.shape[-2] // 8
+    pregrouped_t = isinstance(table8, (tuple, list))
+    pregrouped_l = isinstance(lines_now, (tuple, list))
+    presplit = (table8[0] if pregrouped_t else table8).ndim == 4
+    # Global block count for the seen-counts pad: the scene compiler pads the
+    # texel axis to a multiple of 128 (scene.scenery), so the largest group's
+    # block count IS the global one.
+    B = (max(g[3] for g in groups) if pregrouped_t else table8.shape[-2] // 8)
     outs = []
-    for g0, g1, Lg, Bg in groups:
-        tb = (table8[g0:g1, :, :8 * Bg, :] if presplit
-              else table8[g0:g1, :8 * Bg, :])
+    for gi, (g0, g1, Lg, Bg) in enumerate(groups):
+        if pregrouped_t:
+            tb = table8[gi]
+        else:
+            tb = (table8[g0:g1, :, :8 * Bg, :] if presplit
+                  else table8[g0:g1, :8 * Bg, :])
+        ln = lines_now[gi] if pregrouped_l else lines_now[g0:g1, :Lg]
+        at = attrs[gi] if pregrouped_l else attrs[g0:g1, :, :Lg]
         pg, rg = None, ()
         if table_patch is not None:
             # dynamic_rows is ascending with the (global-block) wrap row last;
@@ -659,7 +700,7 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
             rg = tuple(r for r in patch_rows if r < 8 * Bg)
             pg = table_patch[g0:g1, :, :len(rg), :]
         outs.append(observe(
-            lines_now[g0:g1, :Lg], attrs[g0:g1, :, :Lg], tb,
+            ln, at, tb,
             lines_width[g0:g1], angles[g0:g1], positions[g0:g1], res,
             half_screen_width, agent_radius, want_seen=want_seen,
             env_block=env_block, table_patch=pg, patch_rows=rg,

@@ -67,7 +67,7 @@ def main():
     c = env.core
     scn = c.scenery
     key = jax.random.PRNGKey(0)
-    state, _ = jax.jit(env.reset)(key)
+    state, _ = jax.jit(lambda e, k: e.reset(k))(env, key)
     agents, health, damage = state.agents, state.health, state.damage
     actions = jnp.zeros((env.n_envs, 1), jnp.int32)
     print(f'N={c.n_envs} A={c.n_agents} res={c.res} L={scn.lines.shape[1]} '
@@ -80,12 +80,12 @@ def main():
     # failure mode through the axon compile tunnel; see bench.py).
     out0 = None
     if 'epilogue' in args.stages:
-        out0 = jax.jit(lambda ag: fused_ops.observe_grouped(
-            env._groups, scn.lines, env._attrs_static, env._table8,
-            scn.lines_width, ag.angles, ag.positions, c.res,
+        out0 = jax.jit(lambda e, ag: fused_ops.observe_grouped(
+            e._groups, e._lines_static, e._attrs_static, e._table8,
+            e.core.scenery.lines_width, ag.angles, ag.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=False,
-            draw_model=scn.n_model_lines,
-            interpret=not modules.on_tpu()))(agents)
+            draw_model=e.core.scenery.n_model_lines,
+            interpret=not modules.on_tpu()))(env, agents)
         jax.block_until_ready(out0)
     inputs = arrdict(agents=agents, health=health, damage=damage,
                      actions=actions, matchings=state.matchings,
@@ -110,26 +110,31 @@ def main():
         return carry + 1e-4, obs.rgb.mean() + h.sum() + r.sum()
 
     def kernel(env, inp, carry, _):
+        # Scenery arrays come off the env ARGUMENT (not the outer closure):
+        # closure-captured device arrays bake into the program as constants —
+        # HTTP 413 through the axon compile tunnel at 16k envs.
+        s_ = env.core.scenery
         ag = perturbed(inp.agents, carry)
-        kw = dict(draw_model=scn.n_model_lines) if env.draw_fused else {}
+        kw = dict(draw_model=s_.n_model_lines) if env.draw_fused else {}
         if env.draw_fused:
-            lines_in, attrs_in = scn.lines, env._attrs_static
+            lines_in, attrs_in = env._lines_static, env._attrs_static
         else:
-            lines_in = scn.lines.at[:, :scn.n_dynamic].set(
-                render_ops.draw_dynamic(scn, ag))
-            attrs_in = fused_ops.line_attrs(lines_in, scn)
+            lines_in = s_.lines.at[:, :s_.n_dynamic].set(
+                render_ops.draw_dynamic(s_, ag))
+            attrs_in = fused_ops.line_attrs(lines_in, s_)
         out = fused_ops.observe_grouped(
             env._groups, lines_in, attrs_in, env._table8,
-            scn.lines_width, ag.angles, ag.positions, c.res,
+            s_.lines_width, ag.angles, ag.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=False,
             interpret=not modules.on_tpu(), **kw)
         return carry + 1e-4, out.screen.mean() + out.distances.min()
 
     def rebake(env, inp, carry, _):
+        s_ = env.core.scenery
         ag = perturbed(inp.agents, carry)
-        dyn_lines = render_ops.draw_dynamic(scn, ag)
-        dyn = env._rebake(scn, dyn_lines)
-        patch = fused_ops.pack_table8_patch(scn, dyn, splits=env._shade_splits)
+        dyn_lines = render_ops.draw_dynamic(s_, ag)
+        dyn = env._rebake(s_, dyn_lines)
+        patch = fused_ops.pack_table8_patch(s_, dyn, splits=env._shade_splits)
         return carry + 1e-4, sum(p.sum() for p in jax.tree.leaves(patch))
 
     def epilogue(env, inp, carry, _):

@@ -280,6 +280,42 @@ def test_fused_observe_grouped_matches_full():
                                   np.asarray(grouped.seen_counts))
 
 
+def test_pregrouped_inputs_bit_identical():
+    """group_tables/group_lines pre-sliced inputs give bit-identical outputs
+    to passing full arrays to observe_grouped (which slices per call): the
+    pre-slicing exists purely so a static table isn't re-copied every step."""
+    geoms = floorplans.sample(3) + [toys.box()]
+    geoms = scene.sort_by_size(geoms, 2)
+    scn = scene.scenery(geoms, n_agents=2, random=np.random.RandomState(5))
+    c = core.Core(scn, res=64, fov=130)
+    agents = c.init_agents()
+    key = jax.random.PRNGKey(2)
+    agents['positions'] = 2.5 + 2 * jax.random.uniform(key, agents.positions.shape)
+    agents['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
+
+    lines_now = render.draw(scn, agents)
+    attrs = fused.line_attrs(lines_now, scn)
+    table = fused.split_table8(fused.pack_table8(scn))
+    args = (scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius)
+    groups = fused.size_groups(scn.lines_width, scn.tex_width,
+                               n_groups=2, gran=2)
+    assert len(groups) == 2
+
+    insliced = fused.observe_grouped(groups, lines_now, attrs, table, *args,
+                                     want_seen=True, env_block=2,
+                                     interpret=True)
+    lines_g, attrs_g = fused.group_lines(groups, lines_now, attrs)
+    table_g = fused.group_tables(groups, table)
+    assert isinstance(table_g, tuple) and len(table_g) == 2
+    pre = fused.observe_grouped(groups, lines_g, attrs_g, table_g, *args,
+                                want_seen=True, env_block=2, interpret=True)
+    for k in ('indices', 'distances', 'screen', 'seen_counts'):
+        np.testing.assert_array_equal(np.asarray(insliced[k]),
+                                      np.asarray(pre[k]))
+
+
 def test_fused_observe_grouped_patch_matches_full():
     """Grouped observe composes with the in-kernel table patch: identical to
     the ungrouped patched kernel (wrap row dropped where sliced away)."""
