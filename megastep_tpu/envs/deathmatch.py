@@ -106,10 +106,14 @@ class Deathmatch:
         if self._use_fused:
             from ..ops import fused as fused_ops
             # obs_groups=1 disables bucketing (multi-host SPMD: per-host group
-            # specs would diverge into different compiled programs).
+            # specs would diverge into different compiled programs). The
+            # default of 16 is measured on chip at the res-512 floorplan
+            # bench: 16 buckets beat 4 by 12% (the kernel cost scales with
+            # each group's own L/B padding; see PERF.md) — size_groups halves
+            # the count automatically when the env batch doesn't divide.
             self._groups = fused_ops.size_groups(
                 scenery.lines_width, scenery.tex_width,
-                n_groups=4 if obs_groups is None else obs_groups)
+                n_groups=16 if obs_groups is None else obs_groups)
             # shade_splits=2 is the opt-in fast mode: ~1.5e-5 relative shade
             # error (vs exact f32 at 3) for one less MXU pass per lookup.
             # Static inputs are pre-sliced per size group — an in-step slice
