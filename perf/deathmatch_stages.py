@@ -79,7 +79,7 @@ def main():
     # full-res screens into the program as literal constants (the HTTP-413
     # failure mode through the axon compile tunnel; see bench.py).
     out0 = None
-    if 'epilogue' in args.stages:
+    if any(s.startswith('epi') for s in args.stages.split(',')):
         out0 = jax.jit(lambda e, ag: fused_ops.observe_grouped(
             e._groups, e._lines_static, e._attrs_static, e._table8,
             e.core.scenery.lines_width, ag.angles, ag.positions, c.res,
@@ -164,8 +164,28 @@ def main():
                                                   c.n_agents))
         return carry + 1e-4, ag.positions.sum() + progress.sum() + h.sum()
 
+    # Epilogue sub-stages (each re-perturbs only the fields it consumes, so
+    # subtract nothing; compare against the epilogue total).
+    def epi_obs(env, inp, carry, _):
+        out = arrdict({**inp.out0,
+                       'screen': inp.out0.screen + carry,
+                       'distances': inp.out0.distances + carry})
+        rgb, dd = modules.fused_obs(out, env._rgb.subsample, c.agent_radius,
+                                    env._depth.max_depth)
+        return carry + 1e-4, rgb.mean() + dd.mean()
+
+    def epi_shoot(env, inp, carry, _):
+        izero = (carry * 0).astype(inp.out0.indices.dtype)
+        idx = inp.out0.indices + izero
+        s = env._rgb.subsample
+        line_idxs = modules.downsample(idx, s)[..., s // 2][:, :, None]
+        opp = env._opponents(line_idxs)
+        h, d, m, hits = env._shoot(inp.agents, inp.health + carry,
+                                   inp.damage, opp)
+        return carry + 1e-4, h.sum() + hits.sum() + d.sum()
+
     stages = {f.__name__: f for f in (full, observe, kernel, rebake,
-                                      epilogue, physics)}
+                                      epilogue, physics, epi_obs, epi_shoot)}
     results = {}
     for name in args.stages.split(','):
         fn = stages[name]
