@@ -301,21 +301,26 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         t_num = pqx * ruy - pqy * rux
 
         distant = jnp.abs(uxv) < PARALLEL_EPS
-        safe = jnp.where(distant, 1., uxv)
         if fast_div:
             # Opt-in: one reciprocal shared by both quotients — halves the
             # kernel's (L, R) divides (its costliest VPU op) at ~1-ulp drift
             # in sq/tq, which can flip the winner on tolerance-boundary rays.
-            recip = 1. / safe
-            sq = jnp.where(distant, jnp.inf, s_num * recip)            # (L, R)
-            tq = jnp.where(distant, jnp.inf, t_num * recip)
+            recip = 1. / uxv
+            sq = s_num * recip                                         # (L, R)
+            tq = t_num * recip
         else:
-            # True divisions, same arithmetic as render.raycast (s_num/safe):
-            # the default keeps the documented exact-indices contract.
-            sq = jnp.where(distant, jnp.inf, s_num / safe)             # (L, R)
-            tq = jnp.where(distant, jnp.inf, t_num / safe)
+            # True divisions — identical bits to render.raycast's s_num/safe
+            # on every non-distant entry (safe == uxv there). Distant entries
+            # divide by the raw near-zero uxv (±inf/NaN instead of the
+            # reference's masked inf) but are unobservable: ``~distant``
+            # excludes them from ``valid`` (so s_masked is inf, as before)
+            # and the one-hot only ever selects the found winner (a valid
+            # line) or row 0 on a miss, whose junk is masked by ``found``
+            # downstream. Saves three (L, R) selects over the masked form.
+            sq = s_num / uxv                                           # (L, R)
+            tq = t_num / uxv
 
-        valid = (0 <= tq) & (tq <= 1) & (near < sq)
+        valid = ~distant & (0 <= tq) & (tq <= 1) & (near < sq)
         s_masked = jnp.where(valid, sq, jnp.inf)
         s_min = jnp.min(s_masked, axis=0, keepdims=True)               # (1, R)
         # s_masked is inf on invalid lanes, so the tolerance test alone is the

@@ -187,6 +187,62 @@ def test_deathmatch_fused_other_agent_counts():
                                       np.asarray(outs[1][0].matchings))
 
 
+def test_envs_multigroup_matches_split():
+    """Env-level size bucketing (groups > 1, pre-sliced static tables/lines —
+    the production TPU configuration) steps identically to the split
+    pipeline. 128 mixed-size scenes is the smallest batch the default
+    gran=64 bucketing splits (into 2 groups); the chip benches run 4-16."""
+    from megastep_tpu import toys
+    from megastep_tpu.envs import Deathmatch, Explorer
+    from megastep_tpu.arrdict import arrdict
+
+    geoms = [toys.box() if i % 2 else toys.column() for i in range(120)]
+    geoms += floorplans.sample(8)
+    key = jax.random.PRNGKey(3)
+
+    # Explorer at 128 envs: 2 groups, static pre-sliced lines/attrs + skip_dyn.
+    envs = []
+    for f in (False, True):
+        np.random.seed(13)
+        envs.append(Explorer(128, geometries=geoms, res=32, subsample=4,
+                             fused=f))
+    assert len(envs[1]._groups) == 2
+    assert isinstance(envs[1]._table8, tuple) and len(envs[1]._table8) == 2
+    states, worlds = zip(*[e.reset(key) for e in envs])
+    actions = jax.random.randint(key, (128, 1), 0, 7)
+    outs = [e.step(s, arrdict(actions=actions), key)
+            for e, s in zip(envs, states)]
+    np.testing.assert_array_equal(np.asarray(outs[0][0].seen),
+                                  np.asarray(outs[1][0].seen))
+    np.testing.assert_allclose(np.asarray(outs[0][1].obs.rgb),
+                               np.asarray(outs[1][1].obs.rgb),
+                               rtol=1e-5, atol=1e-6)
+
+    # Deathmatch at 128 scenes x 2 agents: 2 groups + per-frame table patch,
+    # against the ungrouped fused kernel (fused-vs-split is pinned by
+    # test_deathmatch_fused_matches_split; here the subject is the env-level
+    # group plumbing, and the split comparator would triple the runtime).
+    denvs = []
+    for g in (1, None):
+        np.random.seed(17)
+        denvs.append(Deathmatch(256, n_agents=2, geometries=geoms, res=32,
+                                subsample=4, fused=True, obs_groups=g,
+                                random=np.random.RandomState(5)))
+    assert len(denvs[1]._groups) == 2
+    dstates, dworlds = zip(*[e.reset(key) for e in denvs])
+    dactions = jax.random.randint(key, (256, 1), 0, 7)
+    douts = [e.step(s, arrdict(actions=dactions), key)
+             for e, s in zip(denvs, dstates)]
+    np.testing.assert_array_equal(np.asarray(douts[0][0].matchings),
+                                  np.asarray(douts[1][0].matchings))
+    np.testing.assert_allclose(np.asarray(douts[0][1].obs.rgb),
+                               np.asarray(douts[1][1].obs.rgb),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(douts[0][1].obs.d),
+                               np.asarray(douts[1][1].obs.d),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_table8_patch_matches_full_rebuild():
     """pack_table8_patch rows are bit-identical to a full table rebuild's, and
     dynamic_rows covers every row a dynamic re-bake can change."""
