@@ -1,0 +1,79 @@
+"""Microbench: obs downsample as reshape-mean vs MXU pooling matrix.
+
+The Deathmatch epilogue mean-pools the full-res (N, A, 3, R) screen and
+(N, A, R) depth by `subsample` (modules.downsample(...).mean(-1)). On TPU the
+trailing-axis-s reduce is a strided lane reduction; a (R, R/s) matmul against
+a fixed 1/s pooling matrix runs on the MXU instead. This times both inside a
+lax.scan at bench shapes and reports the max deviation (the dot accumulates
+in a different order: ~1-ulp class, same tolerance family as the size-group
+slicing drift). Usage::
+
+    python perf/pool_bench.py --envs 4096 --res 512
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--envs', type=int, default=4096)
+    p.add_argument('--agents', type=int, default=4)
+    p.add_argument('--res', type=int, default=512)
+    p.add_argument('--sub', type=int, default=4)
+    p.add_argument('--steps', type=int, default=32)
+    args = p.parse_args()
+    N, A, R, s = args.envs, args.agents, args.res, args.sub
+
+    key = jax.random.PRNGKey(0)
+    screen = jax.random.uniform(key, (N, A, 3, R))
+    dist = jax.random.uniform(jax.random.fold_in(key, 1), (N, A, R)) * 10
+
+    pool = (np.kron(np.eye(R // s), np.full((s, 1), 1. / s))
+            .astype(np.float32))                                    # (R, R/s)
+    pool = jnp.asarray(pool)
+
+    def reduce_pool(x):
+        return x.reshape(*x.shape[:-1], x.shape[-1] // s, s).mean(-1)
+
+    def dot_pool(x):
+        return jnp.dot(x.reshape(-1, R), pool,
+                       precision=HI).reshape(*x.shape[:-1], R // s)
+
+    def body(fn):
+        def f(carry, _):
+            rgb = fn(screen + carry)
+            d = fn(dist + carry)
+            return carry + 1e-4, rgb.mean() + d.mean()
+        return f
+
+    for name, fn in (('reduce', reduce_pool), ('dot', dot_pool)):
+        @jax.jit
+        def scan(screen, dist, pool):
+            return jax.lax.scan(body(fn), jnp.zeros(()),
+                                jnp.arange(args.steps))
+        _, out = scan(screen, dist, pool)
+        jax.block_until_ready(out)
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, out = scan(screen, dist, pool)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / args.steps)
+        print(f'{name}: {best * 1e3:.3f} ms/step')
+
+    err = jnp.abs(reduce_pool(screen) - dot_pool(screen)).max()
+    print(f'max |reduce - dot| = {float(err):.3e}')
+
+
+if __name__ == '__main__':
+    main()
