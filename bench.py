@@ -136,8 +136,9 @@ def main():
                         'kernel (bit-exact; skips the XLA-side draw)')
     p.add_argument('--obs-groups', type=int, default=None,
                    help='size-bucket count for the fused observe (1 disables '
-                        'bucketing; default: the env\'s own default of 4). '
-                        'A/B knob for the bucketing lever.')
+                        'bucketing; default: the env\'s own default — 4 for '
+                        'explorer, 16 for deathmatch). A/B knob for the '
+                        'bucketing lever.')
     args = p.parse_args()
 
     if args.draw_fused and args.kind != 'deathmatch':

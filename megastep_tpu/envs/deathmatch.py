@@ -122,9 +122,15 @@ class Deathmatch:
             self._table8 = fused_ops.group_tables(
                 self._groups, fused_ops.split_table8(
                     fused_ops.pack_table8(scenery), splits=shade_splits))
-            self._lines_static, self._attrs_static = fused_ops.group_lines(
-                self._groups, scenery.lines,
-                fused_ops.line_attrs(scenery.lines, scenery))
+            if draw_fused:
+                # Only the in-kernel draw path reads the static (pre-sliced)
+                # lines/attrs; the default XLA-draw path rebuilds both per
+                # step from the drawn lines — don't hold dead copies for it.
+                self._lines_static, self._attrs_static = fused_ops.group_lines(
+                    self._groups, scenery.lines,
+                    fused_ops.line_attrs(scenery.lines, scenery))
+            else:
+                self._lines_static = self._attrs_static = None
         else:
             self._table8 = None
             self._groups = ()

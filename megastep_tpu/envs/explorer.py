@@ -185,7 +185,12 @@ class Explorer:
             lines_now, attrs, self._table8,
             scn.lines_width, agents.angles, agents.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=True,
-            skip_dyn=skip, interpret=not modules.on_tpu())
+            skip_dyn=skip,
+            # Global block count: with pad_to the texel axis can be padded
+            # beyond this batch's max, and the group specs only know local
+            # sizes — the seen_counts width must still match state.seen.
+            seen_blocks=-(-scn.baked.shape[1] // fused_ops.LO_WIDTH),
+            interpret=not modules.on_tpu())
 
         s = self._rgb.subsample
         rgb, d = modules.fused_obs(out, s, c.agent_radius, self._depth.max_depth)

@@ -659,7 +659,7 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                     positions, res, half_screen_width, agent_radius,
                     want_seen=True, env_block=None, table_patch=None,
                     patch_rows=(), draw_model=0, skip_dyn=0, fast_div=False,
-                    interpret=False):
+                    seen_blocks=None, interpret=False):
     """:func:`observe` over size-sorted env buckets (:func:`size_groups`): each
     contiguous group runs the kernel with lines/table sliced to the group's own
     padded sizes, and the results concatenate back along the env axis. Safe
@@ -670,6 +670,12 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
     per step — fine for small per-frame inputs) or a per-group tuple from
     :func:`group_lines`/:func:`group_tables` (the right form for static
     inputs: a per-step slice of a static table re-copies it every frame).
+
+    :param seen_blocks: global texel block count (``T_pad // 128``) for the
+        ``seen_counts`` width. Required when the tables are pre-grouped AND
+        the scenery was built with ``pad_to`` padding the texel axis beyond
+        this batch's own max — the group specs only know the local sizes.
+        Defaults to the full table's (or the largest group's) block count.
 
     Indices match the ungrouped kernel exactly; float outputs can drift ~1 ULP
     because XLA's fusion decisions differ between the sliced and full-shape
@@ -682,22 +688,22 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                        table_patch=table_patch, patch_rows=patch_rows,
                        draw_model=draw_model, skip_dyn=skip_dyn,
                        fast_div=fast_div, interpret=interpret)
-    pregrouped_t = isinstance(table8, (tuple, list))
-    pregrouped_l = isinstance(lines_now, (tuple, list))
-    presplit = (table8[0] if pregrouped_t else table8).ndim == 4
-    # Global block count for the seen-counts pad: the scene compiler pads the
-    # texel axis to a multiple of 128 (scene.scenery), so the largest group's
-    # block count IS the global one.
-    B = (max(g[3] for g in groups) if pregrouped_t else table8.shape[-2] // 8)
+    if seen_blocks is not None:
+        B = seen_blocks
+    elif isinstance(table8, (tuple, list)):
+        # Without pad_to the scene compiler pads the texel axis to a multiple
+        # of 128, so the largest group's block count is the global one.
+        B = max(g[3] for g in groups)
+    else:
+        B = table8.shape[-2] // 8
+    # Normalize in-step inputs through the same pre-slicing helpers the envs
+    # use for static inputs, so the slice expressions live in one place.
+    if not isinstance(table8, (tuple, list)):
+        table8 = group_tables(groups, table8)
+    if not isinstance(lines_now, (tuple, list)):
+        lines_now, attrs = group_lines(groups, lines_now, attrs)
     outs = []
     for gi, (g0, g1, Lg, Bg) in enumerate(groups):
-        if pregrouped_t:
-            tb = table8[gi]
-        else:
-            tb = (table8[g0:g1, :, :8 * Bg, :] if presplit
-                  else table8[g0:g1, :8 * Bg, :])
-        ln = lines_now[gi] if pregrouped_l else lines_now[g0:g1, :Lg]
-        at = attrs[gi] if pregrouped_l else attrs[g0:g1, :, :Lg]
         pg, rg = None, ()
         if table_patch is not None:
             # dynamic_rows is ascending with the (global-block) wrap row last;
@@ -705,7 +711,7 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
             rg = tuple(r for r in patch_rows if r < 8 * Bg)
             pg = table_patch[g0:g1, :, :len(rg), :]
         outs.append(observe(
-            ln, at, tb,
+            lines_now[gi], attrs[gi], table8[gi],
             lines_width[g0:g1], angles[g0:g1], positions[g0:g1], res,
             half_screen_width, agent_radius, want_seen=want_seen,
             env_block=env_block, table_patch=pg, patch_rows=rg,

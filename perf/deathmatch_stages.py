@@ -80,12 +80,22 @@ def main():
     # failure mode through the axon compile tunnel; see bench.py).
     out0 = None
     if any(s.startswith('epi') for s in args.stages.split(',')):
-        out0 = jax.jit(lambda e, ag: fused_ops.observe_grouped(
-            e._groups, e._lines_static, e._attrs_static, e._table8,
-            e.core.scenery.lines_width, ag.angles, ag.positions, c.res,
-            c.half_screen_width, c.agent_radius, want_seen=False,
-            draw_model=e.core.scenery.n_model_lines,
-            interpret=not modules.on_tpu()))(env, agents)
+        def render_once(e, ag):
+            s_ = e.core.scenery
+            if e.draw_fused:
+                lines_in, attrs_in, dm = (e._lines_static, e._attrs_static,
+                                          s_.n_model_lines)
+            else:
+                lines_in = s_.lines.at[:, :s_.n_dynamic].set(
+                    render_ops.draw_dynamic(s_, ag))
+                attrs_in = fused_ops.line_attrs(lines_in, s_)
+                dm = 0
+            return fused_ops.observe_grouped(
+                e._groups, lines_in, attrs_in, e._table8,
+                s_.lines_width, ag.angles, ag.positions, c.res,
+                c.half_screen_width, c.agent_radius, want_seen=False,
+                draw_model=dm, interpret=not modules.on_tpu())
+        out0 = jax.jit(render_once)(env, agents)
         jax.block_until_ready(out0)
     inputs = arrdict(agents=agents, health=health, damage=damage,
                      actions=actions, matchings=state.matchings,

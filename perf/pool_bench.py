@@ -42,24 +42,28 @@ def main():
             .astype(np.float32))                                    # (R, R/s)
     pool = jnp.asarray(pool)
 
-    def reduce_pool(x):
+    def reduce_pool(x, pool):
         return x.reshape(*x.shape[:-1], x.shape[-1] // s, s).mean(-1)
 
-    def dot_pool(x):
+    def dot_pool(x, pool):
         return jnp.dot(x.reshape(-1, R), pool,
                        precision=HI).reshape(*x.shape[:-1], R // s)
 
-    def body(fn):
+    def body(fn, screen, dist, pool):
+        # screen/dist/pool arrive as scan ARGUMENTS: a closure over main()'s
+        # device arrays would bake ~134 MB into the program as constants
+        # (the CLAUDE.md HTTP-413 failure mode) and time constant-folded
+        # operands instead of the HBM path the production epilogue uses.
         def f(carry, _):
-            rgb = fn(screen + carry)
-            d = fn(dist + carry)
+            rgb = fn(screen + carry, pool)
+            d = fn(dist + carry, pool)
             return carry + 1e-4, rgb.mean() + d.mean()
         return f
 
     for name, fn in (('reduce', reduce_pool), ('dot', dot_pool)):
         @jax.jit
         def scan(screen, dist, pool):
-            return jax.lax.scan(body(fn), jnp.zeros(()),
+            return jax.lax.scan(body(fn, screen, dist, pool), jnp.zeros(()),
                                 jnp.arange(args.steps))
         _, out = scan(screen, dist, pool)
         jax.block_until_ready(out)
@@ -71,7 +75,7 @@ def main():
             best = min(best, (time.perf_counter() - t0) / args.steps)
         print(f'{name}: {best * 1e3:.3f} ms/step')
 
-    err = jnp.abs(reduce_pool(screen) - dot_pool(screen)).max()
+    err = jnp.abs(reduce_pool(screen, pool) - dot_pool(screen, pool)).max()
     print(f'max |reduce - dot| = {float(err):.3e}')
 
 

@@ -243,6 +243,49 @@ def test_envs_multigroup_matches_split():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pregrouped_seen_width_under_pad_to():
+    """With pad_to padding the texel axis beyond the local batch's max, the
+    group specs only know local sizes — pre-grouped tables must still emit
+    seen_counts at the GLOBAL padded width (via seen_blocks), or the
+    Explorer's `state.seen | counts > 0` breaks on shape (regression:
+    round-4 review finding)."""
+    geoms = floorplans.sample(3) + [toys.box()]
+    geoms = scene.sort_by_size(geoms, 1)
+    # Pretend the global batch (other hosts' shards) has much bigger scenes.
+    Lm, Km, Tm = scene.padded_sizes(geoms, 1)
+    pad_to = (Lm + 16, Km + 4, Tm + 3 * 128)
+    scn = scene.scenery(geoms, n_agents=1, random=np.random.RandomState(5),
+                        pad_to=pad_to)
+    c = core.Core(scn, res=64, fov=130)
+    agents = c.init_agents()
+    key = jax.random.PRNGKey(2)
+    agents['positions'] = 2.5 + 2 * jax.random.uniform(key, agents.positions.shape)
+    agents['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
+
+    lines_now = render.draw(scn, agents)
+    attrs = fused.line_attrs(lines_now, scn)
+    table = fused.split_table8(fused.pack_table8(scn))
+    args = (scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius)
+    groups = fused.size_groups(scn.lines_width, scn.tex_width,
+                               n_groups=2, gran=2)
+    B_global = -(-scn.baked.shape[1] // 128)
+    assert max(g[3] for g in groups) < B_global  # pad_to made them diverge
+
+    full = fused.observe(lines_now, attrs, table, *args, want_seen=True,
+                         env_block=2, interpret=True)
+    pre = fused.observe_grouped(
+        groups, *fused.group_lines(groups, lines_now, attrs),
+        fused.group_tables(groups, table), *args, want_seen=True,
+        env_block=2, seen_blocks=B_global, interpret=True)
+    assert pre.seen_counts.shape == full.seen_counts.shape
+    np.testing.assert_array_equal(np.asarray(full.seen_counts),
+                                  np.asarray(pre.seen_counts))
+    np.testing.assert_array_equal(np.asarray(full.indices),
+                                  np.asarray(pre.indices))
+
+
 def test_table8_patch_matches_full_rebuild():
     """pack_table8_patch rows are bit-identical to a full table rebuild's, and
     dynamic_rows covers every row a dynamic re-bake can change."""
