@@ -112,7 +112,11 @@ def bench(env, steps=64, reps=3):
     for i in range(reps):
         t0 = time.perf_counter()
         carry, r = run(env, carry, jax.random.fold_in(key, i))
-        jax.block_until_ready(r)
+        # Force a real device->host fetch inside the timed region: on the
+        # axon backend block_until_ready alone has been observed to signal
+        # early once after warmup (perf/pool_bench.py), which would inflate
+        # a best-of-reps throughput.
+        float(r[-1])
         dt = time.perf_counter() - t0
         best = max(best, n_envs * steps / dt)
     return best

@@ -107,14 +107,43 @@ def use_fused(flag):
     return on_tpu() if flag is None else flag
 
 
+def pool_mean(x, subsample, dot=None):
+    """Mean-pools the trailing axis by ``subsample``, as either the reshape +
+    trailing-axis reduce or one (R, R/s) MXU product against a fixed 1/s
+    pooling matrix.
+
+    Which wins is context-dependent (both chip-measured 2026-08-19): on a
+    single-agent observe the kernel outputs reach the pool as plain reshapes
+    and the MXU product wins big (Explorer 2.14M → 2.28M steps/s); on a
+    multi-agent observe the pool's input is a (NB, A, E, ·) transpose that
+    XLA fuses the *reduce* into for free, and forcing a dot materializes the
+    transpose first (Deathmatch 1.27M → 1.25M). ``dot=None`` picks the dot
+    on TPU when axis 1 (the agent axis) is 1. The dot accumulates the s taps
+    in a different order than the reduce (~1-ulp drift; the products are
+    exact — 1/s is a power-of-two scale and HIGHEST splits are lossless), so
+    CPU — the reference path — always reduces."""
+    s = subsample
+    if dot is None:
+        dot = on_tpu() and x.ndim >= 2 and x.shape[1] == 1
+    if s == 1 or not dot or not on_tpu():
+        return downsample(x, s).mean(-1)
+    R = x.shape[-1]
+    i = jax.lax.broadcasted_iota(jnp.int32, (R, R // s), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (R, R // s), 1)
+    pool = jnp.where(i // s == j, 1. / s, 0.)
+    y = jnp.dot(x.reshape(-1, R), pool,
+                precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(*x.shape[:-1], R // s)
+
+
 def fused_obs(out, subsample, agent_radius, max_depth):
     """Builds the (rgb, depth) observation pair from a fused-kernel observe
     result (``ops.fused.observe``): pooled linear RGB (n, a, 3, 1, res/s) and
     clipped depth (n, a, 1, 1, res/s) — one shared implementation for every
     env using the fused path (the depth formula mirrors :class:`Depth`)."""
-    rgb = downsample(out.screen, subsample).mean(-1)[:, :, :, None, :]
+    rgb = pool_mean(out.screen, subsample)[:, :, :, None, :]
     depth = 1 - jnp.clip((out.distances - agent_radius) / max_depth, 0, 1)
-    d = downsample(depth, subsample).mean(-1)[:, :, None, None, :]
+    d = pool_mean(depth, subsample)[:, :, None, None, :]
     return rgb, d
 
 

@@ -201,21 +201,27 @@ def main():
         fn = stages[name]
 
         @jax.jit
-        def scan(env, inputs):
+        def scan(env, inputs, c0):
             return jax.lax.scan(lambda carry, x: fn(env, inputs, carry, x),
-                                jnp.zeros(()), jnp.arange(args.steps))
+                                c0, jnp.arange(args.steps))
 
         t0 = time.perf_counter()
-        _, out = scan(env, inputs)
-        jax.block_until_ready(out)
+        _, out = scan(env, inputs, jnp.zeros(()))
+        float(out[-1])
         compile_t = time.perf_counter() - t0
-        best = np.inf
-        for _ in range(3):
+        times = []
+        for rep in range(4):
+            # Per-rep hygiene for the axon backend: vary the inputs (an
+            # identical re-dispatch can be answered early), force a real
+            # device->host fetch inside the timed region (block_until_ready
+            # alone has been observed to signal ~40 ms early once after
+            # warmup), and take the MEDIAN of the reps.
+            c0 = jnp.float32(1e-5 * (rep + 1))
             t0 = time.perf_counter()
-            _, out = scan(env, inputs)
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / args.steps)
-        results[name] = best
+            _, out = scan(env, inputs, c0)
+            float(out[-1])
+            times.append((time.perf_counter() - t0) / args.steps)
+        results[name] = float(np.median(times))
         print(f'{name}: {best * 1e3:.3f} ms/step '
               f'({env.n_envs / best:,.0f} agent-steps/s) '
               f'[first call {compile_t:.1f}s]')

@@ -55,25 +55,36 @@ def main():
         # (the CLAUDE.md HTTP-413 failure mode) and time constant-folded
         # operands instead of the HBM path the production epilogue uses.
         def f(carry, _):
-            rgb = fn(screen + carry, pool)
-            d = fn(dist + carry, pool)
-            return carry + 1e-4, rgb.mean() + d.mean()
+            # Two algebra traps to defeat (both measured as µs/step "pools"):
+            # pooling is linear, so pool(x + c) = pool(x) + c hoists out of
+            # the scan — abs() breaks the factoring; and mean(pool(x)) ==
+            # mean(x), so a mean consumer lets XLA delete the pool — max()
+            # needs every pooled value.
+            rgb = fn(jnp.abs(screen - carry), pool)
+            d = fn(jnp.abs(dist - carry), pool)
+            return carry + 1e-4, rgb.max() + d.max()
         return f
 
     for name, fn in (('reduce', reduce_pool), ('dot', dot_pool)):
         @jax.jit
-        def scan(screen, dist, pool):
-            return jax.lax.scan(body(fn, screen, dist, pool), jnp.zeros(()),
+        def scan(screen, dist, pool, c0):
+            return jax.lax.scan(body(fn, screen, dist, pool), c0,
                                 jnp.arange(args.steps))
-        _, out = scan(screen, dist, pool)
-        jax.block_until_ready(out)
-        best = np.inf
-        for _ in range(3):
+        _, out = scan(screen, dist, pool, jnp.zeros(()))
+        float(out[-1])
+        times = []
+        for rep in range(4):
+            # Per-rep hygiene for the axon backend: vary the inputs (an
+            # identical re-dispatch can be answered early), force a real
+            # device->host fetch inside the timed region
+            # (block_until_ready alone has been observed to signal ~40 ms
+            # early once after warmup), and take the MEDIAN of the reps.
+            c0 = jnp.float32(1e-3 * (rep + 1))
             t0 = time.perf_counter()
-            _, out = scan(screen, dist, pool)
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / args.steps)
-        print(f'{name}: {best * 1e3:.3f} ms/step')
+            _, out = scan(screen, dist, pool, c0)
+            float(out[-1])
+            times.append((time.perf_counter() - t0) / args.steps)
+        print(f'{name}: {float(np.median(times)) * 1e3:.3f} ms/step')
 
     err = jnp.abs(reduce_pool(screen, pool) - dot_pool(screen, pool)).max()
     print(f'max |reduce - dot| = {float(err):.3e}')
