@@ -121,11 +121,13 @@ def pool_mean(x, subsample, dot=None):
     on TPU when axis 1 (the agent axis) is 1. The dot accumulates the s taps
     in a different order than the reduce (~1-ulp drift; the products are
     exact — 1/s is a power-of-two scale and HIGHEST splits are lossless), so
-    CPU — the reference path — always reduces."""
+    the CPU *default* — the reference path — reduces; an explicit ``dot=True``
+    is honored on any backend so the production TPU path has a CPU unit test
+    pinning it against the reduce (tests/test_modules.py)."""
     s = subsample
     if dot is None:
         dot = on_tpu() and x.ndim >= 2 and x.shape[1] == 1
-    if s == 1 or not dot or not on_tpu():
+    if s == 1 or not dot:
         return downsample(x, s).mean(-1)
     R = x.shape[-1]
     i = jax.lax.broadcasted_iota(jnp.int32, (R, R // s), 0)

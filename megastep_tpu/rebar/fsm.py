@@ -131,14 +131,14 @@ class FSM:
 class _StateRef:
     """Fluent edge-adding handle returned by :meth:`Builder.state`."""
 
+    __slots__ = ('_name', '_builder')
+
     def __init__(self, name, builder):
         self._name = name
         self._builder = builder
 
     def to(self, state, action=0, reward=0., weight=1.):
-        self._builder._trans.append(dotdict(
-            prev=self._name, action=int(action), next=state,
-            reward=reward, weight=weight))
+        self._builder._edge(self._name, state, action, reward, weight)
         return self
 
     def state(self, *args, **kwargs):
@@ -149,53 +149,76 @@ class _StateRef:
 
 
 class Builder:
-    """Declarative MDP builder (reference ``fsm.py:139-186``):
+    """Declarative MDP builder with the reference's fluent *surface*
+    (``rebar/fsm.py:139-186``) over a columnar table compiler: declarations
+    and edges accumulate as flat column lists, states get deterministic
+    first-seen indices (the reference iterates a python ``set``, so its state
+    numbering varies between interpreter runs), and the dense tables fill in
+    vectorized scatter writes instead of a per-edge loop.
 
     >>> Builder().state('start', obs=0., start=1.).to('end', reward=1.).build()
     """
 
     def __init__(self):
-        self._obs = []
-        self._trans = []
+        self._declared = {}             # name -> (obs tuple, start weight)
+        self._cols = dict(prev=[], action=[], next=[], reward=[], weight=[])
 
     def state(self, name, obs, start=0.):
         if isinstance(obs, (int, float, bool)):
             obs = (obs,)
-        self._obs.append(dotdict(state=name, obs=obs, start=start))
+        self._declared[name] = (tuple(obs), float(start))
         return _StateRef(name, self)
 
+    def _edge(self, prev, next_, action, reward, weight):
+        c = self._cols
+        c['prev'].append(prev)
+        c['action'].append(int(action))
+        c['next'].append(next_)
+        c['reward'].append(float(reward))
+        c['weight'].append(float(weight))
+
+    def _indices(self):
+        """Deterministic state numbering: declared states in declaration
+        order, then edge-only states (terminal sinks) in first-mention
+        order."""
+        order = dict.fromkeys(self._declared)
+        order.update(dict.fromkeys(self._cols['prev']))
+        order.update(dict.fromkeys(self._cols['next']))
+        return {name: i for i, name in enumerate(order)}
+
     def build(self):
-        states = ({x.state for x in self._obs} |
-                  {x.prev for x in self._trans} |
-                  {x.next for x in self._trans})
-        actions = {x.action for x in self._trans}
-        assert max(actions) == len(actions) - 1, "Action set isn't contiguous"
+        indices = self._indices()
+        names = np.array(list(indices))
+        S = len(indices)
+        acts = np.asarray(self._cols['action'], int)
+        A = int(acts.max()) + 1 if len(acts) else 0
+        assert set(acts.tolist()) == set(range(A)), \
+            "Action set isn't contiguous"
+        (d_obs,) = {len(o) for o, _ in self._declared.values()}
 
-        indices = {s: i for i, s in enumerate(states)}
-        names = np.array(list(states))
+        # Observation/start columns: undeclared (edge-only) states keep NaN
+        # observations — they're terminal, and terminal tokens are resampled
+        # before their obs is ever read.
+        obs = np.full((S, d_obs), np.nan)
+        start = np.zeros(S)
+        for name, (o, s0) in self._declared.items():
+            obs[indices[name]] = o
+            start[indices[name]] = s0
 
-        n_states, n_actions = len(states), len(actions)
-        (d_obs,) = {len(x.obs) for x in self._obs}
+        prev = np.array([indices[p] for p in self._cols['prev']], int)
+        succ = np.array([indices[nx] for nx in self._cols['next']], int)
+        trans = np.zeros((S, A, S))
+        reward = np.zeros((S, A))
+        trans[prev, acts, succ] = self._cols['weight']
+        reward[prev, acts] = self._cols['reward']
 
-        obs = np.full((n_states, d_obs), np.nan)
-        start = np.zeros(n_states)
-        for x in self._obs:
-            obs[indices[x.state]] = np.asarray(x.obs)
-            start[indices[x.state]] = x.start
-
-        trans = np.zeros((n_states, n_actions, n_states))
-        reward = np.zeros((n_states, n_actions))
-        for x in self._trans:
-            trans[indices[x.prev], x.action, indices[x.next]] = x.weight
-            reward[indices[x.prev], x.action] = x.reward
-
-        terminal = trans.sum(-1).max(-1) == 0
+        terminal = ~trans.any(axis=(1, 2))   # no outgoing edge, any action
         assert start.sum() > 0, 'No start state declared'
 
         return dotdict(
             obs=obs, trans=trans, reward=reward, terminal=terminal, start=start,
             indices=indices, names=names,
-            n_states=n_states, n_actions=n_actions, d_obs=d_obs)
+            n_states=S, n_actions=A, d_obs=d_obs)
 
 
 def fsm(f):

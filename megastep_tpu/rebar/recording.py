@@ -17,7 +17,7 @@ import numbers
 import shutil
 import subprocess
 import sys
-import time
+from collections import deque
 from io import BytesIO
 from pathlib import Path
 
@@ -240,38 +240,39 @@ class ParallelEncoder:
                               backend=backend, **kwargs)
 
     def __enter__(self):
-        self._futures = {}
-        self._submitted = 0
-        self._contiguous = 0
+        # In-order encoding falls out of a deque: frames enter in submission
+        # order and only ever leave from the head, so an out-of-order worker
+        # completion just waits buffered until its turn. (No frame counter or
+        # sleep-poll loop needed — backpressure blocks directly on the head
+        # future's result().)
+        self._pending = deque()
         self._encoder.__enter__()
         self._submit = self._pool.__enter__()
         return self
 
-    def _process_done(self):
-        while (self._contiguous in self._futures) and self._futures[self._contiguous].done():
-            self._encoder(self._futures[self._contiguous].result())
-            del self._futures[self._contiguous]
-            self._contiguous += 1
-
-    def _wait(self):
-        while self._futures:
-            self._process_done()
-            time.sleep(.01)
+    def _drain(self, block=False):
+        """Encodes every completed frame at the head of the queue; with
+        ``block`` waits for all of them."""
+        while self._pending:
+            if not (block or self._pending[0].done()):
+                return
+            self._encoder(self._pending.popleft().result())
 
     def __exit__(self, t, v, tb):
-        self._wait()
+        self._drain(block=True)
         self._encoder.__exit__(t, v, tb)
         self._pool.__exit__(t, v, tb)
 
     def __call__(self, *args, **kwargs):
-        while len(self._futures) > self._queuelen:
-            self._process_done()
-        self._futures[self._submitted] = self._submit(self._f, *args, **kwargs)
-        self._submitted += 1
-        self._process_done()
+        self._pending.append(self._submit(self._f, *args, **kwargs))
+        if len(self._pending) > self._queuelen:
+            # Bounded in-flight window: block on the OLDEST frame (it must be
+            # encoded first anyway) rather than polling the whole set.
+            self._pending[0].result()
+        self._drain()
 
     def result(self):
-        self._wait()
+        self._drain(block=True)
         return self._encoder.value
 
     @property

@@ -84,65 +84,48 @@ def deferred_record(category, field, *args, **kwargs):
     QUEUE.append((category, field, args, kwargs))
 
 
-def _mono_getter(collection, x):
-    """Registers a flattened device array in the per-dtype collection; returns a
-    closure recovering it from the concatenated fetch."""
-    dtype = np.dtype(x.dtype)
-    bucket = collection.setdefault(dtype, [])
-    start = sum(int(np.prod(c.shape)) for c in bucket)
-    end = start + int(np.prod(x.shape))
-    bucket.append(x.reshape(-1))
+def _flush(queue):
+    """Replaces every queued device array with its host value, using ONE
+    device→host transfer per dtype.
 
-    def get(fetched):
-        return fetched[dtype][start:end].reshape(x.shape)
-    return get
-
-
-def _dummy_getter(x):
-    return lambda fetched: x
-
-
-def _multi_getter(collection, *args, **kwargs):
-    arggetters = [(_mono_getter(collection, a) if _is_device_array(a)
-                   else _dummy_getter(a)) for a in args]
-    kwarggetters = {k: (_mono_getter(collection, v) if _is_device_array(v)
-                        else _dummy_getter(v)) for k, v in kwargs.items()}
-
-    def get(fetched):
-        return (tuple(g(fetched) for g in arggetters),
-                {k: g(fetched) for k, g in kwarggetters.items()})
-    return get
-
-
-def _gather(queue):
-    collection = {}
-    getters = []
-    for category, field, args, kwargs in queue:
-        getters.append((category, field, _multi_getter(collection, *args, **kwargs)))
-    # One concatenate + one transfer per dtype.
-    fetched = {dt: np.asarray(jnp.concatenate(vs)) for dt, vs in collection.items()}
-    return fetched, getters
+    The whole queue is treated as a single pytree: its device-array leaves
+    (wherever they sit — positional args, kwargs, nested dicts) are flattened,
+    concatenated per dtype, fetched once, split back by running offset, and
+    the queue is rebuilt with host values in place.
+    """
+    if not _HAVE_JAX:
+        return queue
+    leaves, treedef = jax.tree_util.tree_flatten(queue)
+    by_dtype = {}
+    for i, leaf in enumerate(leaves):
+        if _is_device_array(leaf):
+            by_dtype.setdefault(np.dtype(leaf.dtype), []).append(i)
+    for idxs in by_dtype.values():
+        host = np.asarray(jnp.concatenate([leaves[i].reshape(-1)
+                                           for i in idxs]))
+        offset = 0
+        for i in idxs:
+            shape = leaves[i].shape
+            size = int(np.prod(shape))
+            leaves[i] = host[offset:offset + size].reshape(shape)
+            offset += size
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 @contextmanager
 def defer():
     """Queues all records inside the block; flushes with one device→host copy per
-    dtype at exit."""
+    dtype at exit (through the eager writer, which re-cleans host values)."""
     global _record, QUEUE
     _record = deferred_record
     QUEUE = []
     try:
         yield
     finally:
-        fetched, getters = _gather(QUEUE)
-        for category, field, getter in getters:
-            args, kwargs = getter(fetched)
-            args = tuple(clean(a) for a in args)
-            kwargs = {k: clean(v) for k, v in kwargs.items()}
-            if WRITER is not None:
-                _write(category, field, args, kwargs)
-        QUEUE = None
+        flushed, QUEUE = _flush(QUEUE), None
         _record = eager_record
+        for category, field, args, kwargs in flushed:
+            eager_record(category, field, *args, **kwargs)
 
 
 for _c in categories.CATEGORIES:

@@ -221,9 +221,9 @@ def main():
             _, out = scan(env, inputs, c0)
             float(out[-1])
             times.append((time.perf_counter() - t0) / args.steps)
-        results[name] = float(np.median(times))
-        print(f'{name}: {best * 1e3:.3f} ms/step '
-              f'({env.n_envs / best:,.0f} agent-steps/s) '
+        med = results[name] = float(np.median(times))
+        print(f'{name}: {med * 1e3:.3f} ms/step '
+              f'({env.n_envs / med:,.0f} agent-steps/s) '
               f'[first call {compile_t:.1f}s]')
     if 'full' in results:
         acc = sum(v for k, v in results.items()

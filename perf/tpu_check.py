@@ -101,7 +101,29 @@ def check(n_envs, n_agents, res, geom_kw, tag, presplit=True, grouped=False,
         raise SystemExit(f'{tag}: MISMATCH')
 
 
+def check_pool():
+    """The production obs pooling (modules.pool_mean MXU dot path) vs the
+    reshape-mean reference, on compiled XLA: the iota-built pooling matrix
+    must select/average exactly (the on-chip analog of
+    tests/test_modules.py::test_pool_mean_dot_matches_reduce)."""
+    from megastep_tpu import modules
+    key = jax.random.PRNGKey(7)
+    errs = []
+    for shape, s in (((64, 1, 3, 256), 4), ((64, 4, 512), 4), ((32, 1, 64), 8)):
+        x = jax.random.uniform(jax.random.fold_in(key, s), shape)
+        want = np.asarray(jax.jit(
+            lambda x: modules.pool_mean(x, s, dot=False))(x))
+        got = np.asarray(jax.jit(
+            lambda x: modules.pool_mean(x, s, dot=True))(x))
+        errs.append(np.abs(want - got).max())
+    err = max(errs)
+    print(f'pool-dot: max_err={err:.2e}')
+    if err > 1e-6:
+        raise SystemExit('pool-dot: MISMATCH')
+
+
 if __name__ == '__main__':
+    check_pool()
     check(256, 1, 256, {}, 'explorer-shape')
     # presplit=False exercises the in-kernel split + cross-agent scratch path.
     check(64, 4, 512, {}, 'deathmatch-shape', presplit=False)

@@ -284,6 +284,66 @@ def test_pregrouped_seen_width_under_pad_to():
                                   np.asarray(pre.seen_counts))
     np.testing.assert_array_equal(np.asarray(full.indices),
                                   np.asarray(pre.indices))
+    # Float outputs under pad_to + pre-grouped tables (each group's table
+    # slice cuts below the global roll-concat wrap row): the sliced kernels
+    # must still shade/measure identically up to fusion-order drift.
+    np.testing.assert_allclose(np.asarray(full.distances),
+                               np.asarray(pre.distances), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(full.screen),
+                               np.asarray(pre.screen), rtol=1e-6, atol=1e-7)
+
+
+def test_pregrouped_table_patch_under_pad_to():
+    """table_patch + pre-grouped tables + pad_to: dynamic_rows' wrap row (the
+    GLOBAL last block's ch7) lies beyond every group's own block count, so
+    observe_grouped must drop it per group without corrupting the patched
+    rows that remain (regression guard: round-4 review finding)."""
+    geoms = floorplans.sample(2) + [toys.box(), toys.column()]
+    geoms = scene.sort_by_size(geoms, 2)
+    Lm, Km, Tm = scene.padded_sizes(geoms, 2)
+    pad_to = (Lm + 8, Km + 2, Tm + 2 * 128)
+    scn = scene.scenery(geoms, n_agents=2, random=np.random.RandomState(7),
+                        pad_to=pad_to)
+    c = core.Core(scn, res=64, fov=130)
+    agents = c.init_agents()
+    key = jax.random.PRNGKey(4)
+    agents['positions'] = 2.5 + 2 * jax.random.uniform(key, agents.positions.shape)
+    agents['angles'] = jax.random.uniform(
+        jax.random.fold_in(key, 1), agents.angles.shape, minval=-180, maxval=180)
+
+    T_dyn, t_pad = scn.n_dynamic_texels, scn.baked.shape[1]
+    dyn = 0.5 + jax.random.uniform(jax.random.PRNGKey(3),
+                                   (scn.baked.shape[0], T_dyn))
+    rows = fused.dynamic_rows(T_dyn, t_pad)
+    patch = fused.pack_table8_patch(scn, dyn)
+
+    lines_now = render.draw(scn, agents)
+    attrs = fused.line_attrs(lines_now, scn)
+    table = fused.split_table8(fused.pack_table8(scn))
+    args = (scn.lines_width, agents.angles, agents.positions, c.res,
+            c.half_screen_width, c.agent_radius)
+    groups = fused.size_groups(scn.lines_width, scn.tex_width,
+                               n_groups=2, gran=2)
+    B_global = -(-t_pad // 128)
+    assert max(g[3] for g in groups) < B_global  # pad_to made them diverge
+    assert rows[-1] >= 8 * max(g[3] for g in groups)  # wrap row gets dropped
+
+    # Ground truth: the same grouped kernels on a fully rebuilt table —
+    # isolates the patch/wrap-row mechanism exactly, so the comparison is
+    # bit-exact (grouped vs UNgrouped floats carry the documented ~ULP
+    # fusion drift and would mask a patch bug of the same size).
+    baked_now = scn.baked.at[:, :T_dyn].set(dyn)
+    table_now = fused.split_table8(fused.pack_table8(scn, baked_now))
+    gl = fused.group_lines(groups, lines_now, attrs)
+    want = fused.observe_grouped(
+        groups, *gl, fused.group_tables(groups, table_now), *args,
+        want_seen=False, env_block=2, interpret=True)
+    pre = fused.observe_grouped(
+        groups, *gl, fused.group_tables(groups, table), *args,
+        want_seen=False, env_block=2, table_patch=patch, patch_rows=rows,
+        interpret=True)
+    for k in ('indices', 'distances', 'screen'):
+        np.testing.assert_array_equal(np.asarray(want[k]), np.asarray(pre[k]))
 
 
 def test_table8_patch_matches_full_rebuild():

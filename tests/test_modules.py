@@ -122,3 +122,22 @@ def test_rgb_depth_shapes(box_core):
     assert d.shape == (c.n_envs, 1, 1, 1, 16)
     dv = np.asarray(d)
     assert (0 <= dv).all() and (dv <= 1).all()
+
+
+def test_pool_mean_dot_matches_reduce():
+    """The MXU dot-pool (the production TPU path for single-agent observes)
+    must match the reshape-mean reference; dot=True is honored on CPU exactly
+    so this parity holds in the suite (round-4 review finding: the dot path
+    was dead code off-TPU)."""
+    key = jax.random.PRNGKey(0)
+    for shape, s in (((3, 1, 3, 256), 4), ((2, 4, 128), 2), ((5, 1, 64), 8)):
+        x = jax.random.uniform(jax.random.fold_in(key, s), shape)
+        want = modules.pool_mean(x, s, dot=False)
+        got = modules.pool_mean(x, s, dot=True)
+        assert got.shape == want.shape == (*shape[:-1], shape[-1] // s)
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   rtol=1e-6, atol=1e-7)
+    # s=1 must be the identity on both paths.
+    x = jax.random.uniform(key, (2, 1, 16))
+    np.testing.assert_array_equal(np.asarray(modules.pool_mean(x, 1, dot=True)),
+                                  np.asarray(x))
