@@ -127,10 +127,18 @@ def optimize(apply, opt, params, opt_state, batch, state0, **hp):
 
 
 def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
-                    kl_limit=.02, **hp):
+                    kl_limit=.02, shard_mesh=None, shard_axis='env', **hp):
     """Builds the jitted one-chunk training step: rollout → minibatched PPO with
     KL early stop (reference outer loop, ``demo/__init__.py:124-145``).
 
+    :param shard_mesh: a :class:`jax.sharding.Mesh` the env batch is sharded
+        over. The single-chip minibatcher gathers a random env subset per
+        minibatch (``jnp.take`` over the env axis) — under GSPMD that
+        all-gathers the whole rollout chunk onto every device, every
+        minibatch. With a mesh, every device instead permutes its LOCAL envs
+        by one shared per-chunk permutation (under ``jax.shard_map``) and
+        minibatches are static local blocks spanning all devices evenly, so
+        the learner's only collective is the gradient all-reduce.
     :return: ``step(env, carry, key) -> (carry, metrics)`` where carry is the
         arrdict (params, opt_state, env_state, world, agent_state). The env is an
         explicit argument so that under jit its scenery/spawn tables remain
@@ -147,6 +155,42 @@ def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
             f'minibatch exceeds n_envs = {n_envs}: the learner would run '
             f'ZERO minibatches (and silently never train). Lower batch_size '
             f'or raise n_envs.')
+    if shard_mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        n_dev = shard_mesh.shape[shard_axis]
+        n_local = n_envs // n_dev
+        lw_local = batch_width // n_dev
+        if lw_local < 1 or batch_width % n_dev:
+            raise ValueError(
+                f'minibatch width {batch_width} must be a multiple of the '
+                f'mesh\'s {n_dev} devices so every device contributes an '
+                f'equal local block')
+
+        def shard_local_batches(chunk, state0, k_perm):
+            """(chunk, state0) -> minibatch-major (xs for the learner scan),
+            permuted and blocked shard-locally. The same local permutation on
+            every device keeps the program SPMD; randomness across devices
+            comes from the envs themselves (independent scenes/spawns)."""
+            perm = jax.random.permutation(k_perm, n_local)
+
+            def local(chunk, state0, perm):
+                c = _take_envs(chunk, perm, 1)
+                s = _take_envs(state0, perm, 0)
+                used = n_batches * lw_local
+                cb = jax.tree_util.tree_map(
+                    lambda x: jnp.moveaxis(
+                        x[:, :used].reshape(x.shape[0], n_batches, lw_local,
+                                            *x.shape[2:]), 1, 0), c)
+                sb = jax.tree_util.tree_map(
+                    lambda x: x[:used].reshape(n_batches, lw_local,
+                                               *x.shape[1:]), s)
+                return cb, sb
+
+            return jax.shard_map(
+                local, mesh=shard_mesh,
+                in_specs=(P(None, shard_axis), P(shard_axis), P()),
+                out_specs=(P(None, None, shard_axis), P(None, shard_axis)),
+                check_vma=False)(chunk, state0, perm)
 
     def step(env, carry, key):
         k_roll, k_perm = jax.random.split(key)
@@ -155,14 +199,15 @@ def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
             env, apply, carry.params, carry.env_state, carry.world,
             carry.agent_state, k_roll, buffer_size)
 
-        perm = jax.random.permutation(k_perm, n_envs)
-
-        def minibatch(mcarry, idxs):
+        def minibatch(mcarry, xs):
             params, opt_state, dead = mcarry
 
             def live(params, opt_state):
-                batch = _take_envs(chunk, idxs, 1)
-                s0 = _take_envs(state0, idxs, 0)  # recurrent state is batch-first
+                if shard_mesh is None:
+                    batch = _take_envs(chunk, xs, 1)
+                    s0 = _take_envs(state0, xs, 0)  # recurrent state is batch-first
+                else:
+                    batch, s0 = xs
                 return optimize(apply, opt, params, opt_state, batch, s0, **hp)
 
             def skip(params, opt_state):
@@ -181,10 +226,14 @@ def make_train_step(env, agent, opt, buffer_size=32, batch_size=16 * 1024,
             aux['skipped'] = dead.astype(jnp.float32)
             return (params, opt_state, dead), aux
 
-        idx_batches = perm[:n_batches * batch_width].reshape(n_batches, batch_width)
+        if shard_mesh is None:
+            perm = jax.random.permutation(k_perm, n_envs)
+            xs = perm[:n_batches * batch_width].reshape(n_batches, batch_width)
+        else:
+            xs = shard_local_batches(chunk, state0, k_perm)
         (params, opt_state, _), aux = jax.lax.scan(
             minibatch, (carry.params, carry.opt_state, jnp.zeros((), bool)),
-            idx_batches)
+            xs)
 
         # Average opt stats over the minibatches that actually ran, so a
         # tripped KL stop doesn't dilute kl_div/loss with the skip branch's

@@ -53,15 +53,26 @@ class Deathmatch:
 
     def __init__(self, n_envs, n_agents=4, geometries=None, subsample=4,
                  fused=None, obs_groups=None, sort_scenes=True, shade_splits=3,
-                 draw_fused=False, pad_to=None, random=None, **kwargs):
+                 draw_fused=False, pad_to=None, random=None, shard_mesh=None,
+                 shard_axis='env', obs_group_spec=None, obs_gran=64, **kwargs):
         n_scenes = max(n_envs // n_agents, 1)
         geometries = cubicasa.sample(n_scenes) if geometries is None else geometries
+        # shard_mesh: run the fused observe (and the bucketed re-bake) under
+        # jax.shard_map over this mesh, scene axis split on shard_axis — the
+        # production multi-device path (see ops.fused.observe_grouped). Size
+        # buckets become per-shard-LOCAL with scenes striped so each shard's
+        # block is internally size-sorted.
+        self.shard_mesh = shard_mesh
+        self.shard_axis = shard_axis
+        n_shards = shard_mesh.shape[shard_axis] if shard_mesh is not None else 1
         # Scenes are re-ordered by texel count so the fused observe can run
         # size buckets padded to their own max (ops.fused.size_groups) instead
         # of the global worst case. NOTE: scene i then uses
         # ``geometries[self.scene_order[i]]`` of the caller's list — pass
-        # ``sort_scenes=False`` to keep the caller's order.
-        self.scene_order = (scene.size_order(geometries, n_agents)
+        # ``sort_scenes=False`` to keep the caller's order. Multi-process
+        # builds pass sort_scenes=False + obs_group_spec and order geometries
+        # themselves (parallel.host).
+        self.scene_order = (scene.striped_order(geometries, n_agents, n_shards)
                             if sort_scenes else np.arange(len(geometries)))
         geometries = [geometries[i] for i in self.scene_order]
         # random: seeded texture/light construction (reproducible scenes);
@@ -105,15 +116,32 @@ class Deathmatch:
         self.draw_fused = draw_fused
         if self._use_fused:
             from ..ops import fused as fused_ops
-            # obs_groups=1 disables bucketing (multi-host SPMD: per-host group
-            # specs would diverge into different compiled programs). The
-            # default of 16 is measured on chip at the res-512 floorplan
-            # bench: 16 buckets beat 4 by 12% (the kernel cost scales with
-            # each group's own L/B padding; see PERF.md) — size_groups halves
-            # the count automatically when the env batch doesn't divide.
-            self._groups = fused_ops.size_groups(
-                scenery.lines_width, scenery.tex_width,
-                n_groups=16 if obs_groups is None else obs_groups)
+            # The default of 16 buckets is measured on chip at the res-512
+            # floorplan bench: 16 buckets beat 4 by 12% (the kernel cost
+            # scales with each group's own L/B padding; see PERF.md) —
+            # size_groups halves the count automatically when the scene batch
+            # doesn't divide. With a shard_mesh, buckets are per-shard-local
+            # (one SPMD program; padding maxima match the global sort's).
+            G = 16 if obs_groups is None else obs_groups
+            if obs_group_spec is not None:
+                # Multi-process builds: the LOCAL group spec, computed from
+                # the GLOBAL geometry list so every host compiles one SPMD
+                # program (parallel.host.sharded_deathmatch).
+                self._groups = tuple(tuple(g) for g in obs_group_spec)
+            elif shard_mesh is not None:
+                self._groups = fused_ops.sharded_size_groups(
+                    scenery.lines_width, scenery.tex_width, n_shards,
+                    n_groups=G, gran=obs_gran)
+            else:
+                self._groups = fused_ops.size_groups(
+                    scenery.lines_width, scenery.tex_width, n_groups=G,
+                    gran=obs_gran)
+            rows = None
+            if shard_mesh is not None and len(self._groups) > 1:
+                n_local = self._groups[-1][1]
+                rows = fused_ops.shard_group_rows(
+                    self._groups, scenery.n_envs // n_local, n_local)
+            self._group_rows = rows
             # shade_splits=2 is the opt-in fast mode: ~1.5e-5 relative shade
             # error (vs exact f32 at 3) for one less MXU pass per lookup.
             # Static inputs are pre-sliced per size group — an in-step slice
@@ -121,19 +149,21 @@ class Deathmatch:
             # (ops.fused.group_tables).
             self._table8 = fused_ops.group_tables(
                 self._groups, fused_ops.split_table8(
-                    fused_ops.pack_table8(scenery), splits=shade_splits))
+                    fused_ops.pack_table8(scenery), splits=shade_splits),
+                rows=rows)
             if draw_fused:
                 # Only the in-kernel draw path reads the static (pre-sliced)
                 # lines/attrs; the default XLA-draw path rebuilds both per
                 # step from the drawn lines — don't hold dead copies for it.
                 self._lines_static, self._attrs_static = fused_ops.group_lines(
                     self._groups, scenery.lines,
-                    fused_ops.line_attrs(scenery.lines, scenery))
+                    fused_ops.line_attrs(scenery.lines, scenery), rows=rows)
             else:
                 self._lines_static = self._attrs_static = None
         else:
             self._table8 = None
             self._groups = ()
+            self._group_rows = None
             self._lines_static = self._attrs_static = None
 
     def _respawn(self, agents, health, damage, reset, key):
@@ -187,17 +217,34 @@ class Deathmatch:
         (``(N, n_dynamic, 2, 2)``; walls come from the static scenery, which
         draw never touches), ridden over the same size buckets as the fused
         observe: each group's occlusion stream runs over only the group's own
-        (padded) static line count instead of the global max."""
+        (padded) static line count instead of the global max. With a
+        ``shard_mesh`` the buckets are shard-local, so the grouped slicing
+        runs under ``jax.shard_map`` on each device's own scene block."""
         from ..ops import bake
         nd = scn.n_dynamic
-        if len(self._groups) <= 1:
-            return bake.dynamic_texel_intensity_parts(
-                scn, dyn_lines, scn.lines[:, nd:], k_max=self._k_lights)
-        return jnp.concatenate([
-            bake.dynamic_texel_intensity_parts(
-                scn.env_slice(g0, g1), dyn_lines[g0:g1],
-                scn.lines[g0:g1, nd:Lg], k_max=self._k_lights)
-            for g0, g1, Lg, _ in self._groups])
+
+        def grouped(scn, dyn_lines):
+            if len(self._groups) <= 1:
+                return bake.dynamic_texel_intensity_parts(
+                    scn, dyn_lines, scn.lines[:, nd:], k_max=self._k_lights)
+            return jnp.concatenate([
+                bake.dynamic_texel_intensity_parts(
+                    scn.env_slice(g0, g1), dyn_lines[g0:g1],
+                    scn.lines[g0:g1, nd:Lg], k_max=self._k_lights)
+                for g0, g1, Lg, _ in self._groups])
+
+        if self.shard_mesh is None:
+            return grouped(scn, dyn_lines)
+        from jax.sharding import PartitionSpec
+        spec = PartitionSpec(self.shard_axis)
+        per_env = ('lines', 'lines_width', 'lights', 'lights_width',
+                   'textures', 'tex_width', 'baked', 'line_tex_starts',
+                   'line_tex_widths', 'tex_line')
+        scn_specs = scn.replace(**{f: spec for f in per_env},
+                                model=PartitionSpec())
+        return jax.shard_map(grouped, mesh=self.shard_mesh,
+                             in_specs=(scn_specs, spec), out_specs=spec,
+                             check_vma=False)(scn, dyn_lines)
 
     def _observe_fused(self, agents, health, damage):
         """One-kernel observe (:mod:`megastep_tpu.ops.fused`) with per-frame
@@ -235,7 +282,8 @@ class Deathmatch:
             scn.lines_width, agents.angles, agents.positions, c.res,
             c.half_screen_width, c.agent_radius, want_seen=False,
             table_patch=patch, patch_rows=rows, draw_model=dm,
-            interpret=not modules.on_tpu())
+            interpret=not modules.on_tpu(),
+            shard_mesh=self.shard_mesh, shard_axis=self.shard_axis)
 
         s = self._rgb.subsample
         line_idxs = modules.downsample(out.indices, s)[..., s // 2][:, :, None]

@@ -38,16 +38,27 @@ class Explorer:
 
     def __init__(self, n_envs, geometries=None, subsample=4, fused=None,
                  pad_to=None, random=None, obs_groups=None, sort_scenes=True,
-                 shade_splits=3, **kwargs):
+                 shade_splits=3, shard_mesh=None, shard_axis='env',
+                 obs_group_spec=None, obs_gran=64, **kwargs):
         geometries = cubicasa.sample(n_envs) if geometries is None else geometries
+        # shard_mesh: run the fused observe under jax.shard_map over this
+        # mesh, env axis split on shard_axis — the production multi-device
+        # path (a GSPMD-partitioned pallas_call would all-gather its
+        # env-sharded operands; see ops.fused.observe_grouped). Size buckets
+        # then become per-shard-LOCAL (sharded_size_groups) with scenes
+        # striped so every shard's local block is internally size-sorted.
+        self.shard_mesh = shard_mesh
+        self.shard_axis = shard_axis
+        n_shards = shard_mesh.shape[shard_axis] if shard_mesh is not None else 1
         # Scenes are re-ordered by texel count so the fused observe can run
         # size buckets padded to their own max (ops.fused.size_groups) instead
         # of the global worst case. NOTE: env i then uses
         # ``geometries[self.scene_order[i]]`` of the caller's list — pass
         # ``sort_scenes=False`` to keep the caller's order (at the cost of
-        # mixed-size buckets).
-        self.scene_order = (scene.size_order(geometries, 1) if sort_scenes
-                            else np.arange(len(geometries)))
+        # mixed-size buckets). Multi-process builds pass sort_scenes=False +
+        # obs_group_spec and order geometries themselves (parallel.host).
+        self.scene_order = (scene.striped_order(geometries, 1, n_shards)
+                            if sort_scenes else np.arange(len(geometries)))
         geometries = [geometries[i] for i in self.scene_order]
         scenery = scene.scenery(geometries, 1, random=random, pad_to=pad_to)
         self.core = core.Core(scenery, res=kwargs.pop('res', 4 * 64),
@@ -63,12 +74,29 @@ class Explorer:
         # path can actually run (scenery is immutable, so it cannot go stale).
         if self._use_fused:
             from ..ops import fused as fused_ops
-            # obs_groups=1 disables bucketing — required in multi-host SPMD,
-            # where per-host group specs would diverge into different compiled
-            # programs (parallel.host passes it).
-            self._groups = fused_ops.size_groups(
-                scenery.lines_width, scenery.tex_width,
-                n_groups=4 if obs_groups is None else obs_groups)
+            G = 4 if obs_groups is None else obs_groups
+            if obs_group_spec is not None:
+                # Multi-process builds: the LOCAL group spec, computed from the
+                # GLOBAL geometry list so every host compiles one SPMD program
+                # (parallel.host.sharded_explorer).
+                self._groups = tuple(tuple(g) for g in obs_group_spec)
+            elif shard_mesh is not None:
+                self._groups = fused_ops.sharded_size_groups(
+                    scenery.lines_width, scenery.tex_width, n_shards,
+                    n_groups=G, gran=obs_gran)
+            else:
+                self._groups = fused_ops.size_groups(
+                    scenery.lines_width, scenery.tex_width, n_groups=G,
+                    gran=obs_gran)
+            # Mesh layout: pre-sliced static inputs gather each shard's local
+            # group block so an env-axis sharding hands every device its own
+            # rows (ops.fused.shard_group_rows).
+            rows = None
+            if shard_mesh is not None and len(self._groups) > 1:
+                n_local = self._groups[-1][1]
+                rows = fused_ops.shard_group_rows(
+                    self._groups, scenery.n_envs // n_local, n_local)
+            self._group_rows = rows
             # shade_splits=2 is the opt-in fast mode: ~1.5e-5 relative shade
             # error (vs exact f32 at 3) for one less MXU pass per lookup.
             # The static table is pre-sliced per size group: slicing it inside
@@ -76,7 +104,8 @@ class Explorer:
             # (ops.fused.group_tables).
             self._table8 = fused_ops.group_tables(
                 self._groups, fused_ops.split_table8(
-                    fused_ops.pack_table8(scenery), splits=shade_splits))
+                    fused_ops.pack_table8(scenery), splits=shade_splits),
+                rows=rows)
             # Static observe inputs, skipping the per-step draw: with one agent
             # every model vertex sits strictly inside the camera near plane
             # (max ‖vertex‖ = width/2·√1.25 < radius = width/√2), so a drawn
@@ -92,12 +121,13 @@ class Explorer:
                 # of a static input is a per-step copy).
                 self._lines_static, self._attrs_static = fused_ops.group_lines(
                     self._groups, scenery.lines,
-                    fused_ops.line_attrs(scenery.lines, scenery))
+                    fused_ops.line_attrs(scenery.lines, scenery), rows=rows)
             else:
                 self._lines_static = self._attrs_static = None
         else:
             self._table8 = None
             self._groups = ()
+            self._group_rows = None
             self._lines_static = self._attrs_static = None
 
         self.action_space = self._mover.space
@@ -190,7 +220,8 @@ class Explorer:
             # beyond this batch's max, and the group specs only know local
             # sizes — the seen_counts width must still match state.seen.
             seen_blocks=-(-scn.baked.shape[1] // fused_ops.LO_WIDTH),
-            interpret=not modules.on_tpu())
+            interpret=not modules.on_tpu(),
+            shard_mesh=self.shard_mesh, shard_axis=self.shard_axis)
 
         s = self._rgb.subsample
         rgb, d = modules.fused_obs(out, s, c.agent_radius, self._depth.max_depth)

@@ -49,13 +49,26 @@ class MultiImageIntake(nn.Module):
         if obs.dtype == jnp.uint8:
             obs = obs / 255.
 
+        # (T, B, ...) -> (B, T, ...) before the conv flatten: the learner's
+        # minibatches arrive (time, env) with the env axis device-sharded on a
+        # mesh, and merging batch axes with a replicated axis MAJOR interleaves
+        # the shards — GSPMD then all-gathers the activations (and their
+        # cotangents) around every conv. Env-major merging keeps everything
+        # chip-local; per-sample convs make the reorder numerically free.
+        swap = len(lead) == 2
+        if swap:
+            obs = obs.swapaxes(0, 1)
+
         # (..., A, C, H, W) -> (batch*A, H, W, C) for NHWC convs.
         x = obs.reshape(-1, C, H, W).transpose(0, 2, 3, 1)
         x = nn.relu(nn.Conv(32, (1, 8), strides=(1, 4), padding='VALID')(x))
         x = nn.relu(nn.Conv(64, (1, 4), strides=(1, 2), padding='VALID')(x))
         x = nn.relu(nn.Conv(128, (1, 3), strides=(1, 2), padding='VALID')(x))
 
-        x = x.reshape(*lead, A * int(np.prod(x.shape[1:])))
+        x = x.reshape(*(lead[::-1] if swap else lead),
+                      A * int(np.prod(x.shape[1:])))
+        if swap:
+            x = x.swapaxes(0, 1)
         x = nn.relu(nn.Dense(self.width)(x))
         return nn.relu(nn.Dense(self.width)(x))
 

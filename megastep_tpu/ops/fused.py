@@ -629,37 +629,98 @@ def size_groups(lines_width, tex_width, n_groups=4, gran=64):
         for g0 in range(0, N, size))
 
 
-def group_tables(groups, table8):
+def sharded_size_groups(lines_width, tex_width, n_shards, n_groups=4,
+                        gran=64):
+    """Per-shard-LOCAL size buckets for a shard-major, striped-sorted env axis
+    (:func:`megastep_tpu.scene.striped_order`): device shard ``s`` holds envs
+    ``[s*n_local, (s+1)*n_local)``, each internally size-sorted; local group
+    ``g`` spans local rows ``[g*gsz, (g+1)*gsz)`` on EVERY shard, padded to the
+    max over all shards' group-``g`` scenes — so one SPMD program serves every
+    device. Under striped_order the union of all shards' group-``g`` rows is
+    exactly the globally-sorted rank range ``[g*gsz*S, (g+1)*gsz*S)``, so the
+    group maxima equal what a global sort + :func:`size_groups` would pick:
+    mesh mode loses none of the bucketing lever's padding savings.
+
+    :param lines_width, tex_width: the GLOBAL width arrays, in env order.
+    :return: tuple of LOCAL ``(start, end, L_g, B_g)`` per group — pass as
+        ``groups`` to :func:`observe_grouped` alongside ``shard_mesh``.
+    """
+    lw, tw = np.asarray(lines_width), np.asarray(tex_width)
+    N = len(lw)
+    assert N % n_shards == 0, (N, n_shards)
+    n_local = N // n_shards
+    G = n_groups
+    while G > 1 and n_local % (G * gran):
+        G //= 2
+    gsz = n_local // G
+    out = []
+    for g in range(G):
+        rows = np.concatenate([np.arange(s * n_local + g * gsz,
+                                         s * n_local + (g + 1) * gsz)
+                               for s in range(n_shards)])
+        out.append((g * gsz, (g + 1) * gsz,
+                    int(-(-int(lw[rows].max()) // 8) * 8),
+                    int(-(-int(tw[rows].max()) // LO_WIDTH))))
+    return tuple(out)
+
+
+def shard_group_rows(groups, n_shards, n_local):
+    """Global env-row indices of each LOCAL group under the shard-major layout:
+    group ``g``'s pre-sliced static arrays concatenate every shard's local-row
+    block ``[g0, g1)``, so that an env-axis ``NamedSharding`` hands device
+    ``s`` exactly its own group-``g`` scenes. Pass as ``rows=`` to
+    :func:`group_tables`/:func:`group_lines` at construction."""
+    return tuple(
+        np.concatenate([np.arange(s * n_local + g0, s * n_local + g1)
+                        for s in range(n_shards)])
+        for g0, g1, _, _ in groups)
+
+
+def group_tables(groups, table8, rows=None):
     """Pre-slices a (pre-split) shade table into per-group arrays for
     :func:`observe_grouped`. Call ONCE at env construction for static tables:
     a per-step ``table8[g0:g1, :, :8*Bg]`` inside the jitted step materializes
     a fresh copy of the whole multi-hundred-MB table every frame (pallas_call
     operands can't alias a strided slice) — measured as the round-3 Explorer
-    regression (1.72M → 1.45M steps/s at 16k envs)."""
+    regression (1.72M → 1.45M steps/s at 16k envs).
+
+    :param rows: optional per-group global env-row indices
+        (:func:`shard_group_rows`) replacing the contiguous ``[g0:g1]`` slice —
+        the mesh layout, where a local group's scenes stripe across shards.
+    """
     if len(groups) <= 1:
         return table8
     presplit = table8.ndim == 4
-    return tuple(
-        (table8[g0:g1, :, :8 * Bg, :] if presplit
-         else table8[g0:g1, :8 * Bg, :])
-        for g0, g1, Lg, Bg in groups)
+    out = []
+    for gi, (g0, g1, Lg, Bg) in enumerate(groups):
+        t = table8[rows[gi]] if rows is not None else table8[g0:g1]
+        out.append(t[:, :, :8 * Bg, :] if presplit else t[:, :8 * Bg, :])
+    return tuple(out)
 
 
-def group_lines(groups, lines_now, attrs):
+def group_lines(groups, lines_now, attrs, rows=None):
     """Pre-slices static lines/attrs per group (same per-step-copy argument as
     :func:`group_tables`; for per-step drawn lines the slice is small and can
     stay in-step). Returns ``(lines_tuple, attrs_tuple)``."""
     if len(groups) <= 1:
         return lines_now, attrs
-    return (tuple(lines_now[g0:g1, :Lg] for g0, g1, Lg, _ in groups),
-            tuple(attrs[g0:g1, :, :Lg] for g0, g1, Lg, _ in groups))
+
+    def sel(x, gi):
+        g0, g1 = groups[gi][:2]
+        return x[rows[gi]] if rows is not None else x[g0:g1]
+
+    return (tuple(sel(lines_now, gi)[:, :Lg]
+                  for gi, (_, _, Lg, _) in enumerate(groups)),
+            tuple(sel(attrs, gi)[:, :, :Lg]
+                  for gi, (_, _, Lg, _) in enumerate(groups)))
 
 
 def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                     positions, res, half_screen_width, agent_radius,
                     want_seen=True, env_block=None, table_patch=None,
                     patch_rows=(), draw_model=0, skip_dyn=0, fast_div=False,
-                    seen_blocks=None, interpret=False):
+                    seen_blocks=None, interpret=False, shard_mesh=None,
+                    shard_axis='env'):
     """:func:`observe` over size-sorted env buckets (:func:`size_groups`): each
     contiguous group runs the kernel with lines/table sliced to the group's own
     padded sizes, and the results concatenate back along the env axis. Safe
@@ -676,11 +737,45 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
         the scenery was built with ``pad_to`` padding the texel axis beyond
         this batch's own max — the group specs only know the local sizes.
         Defaults to the full table's (or the largest group's) block count.
+    :param shard_mesh: a :class:`jax.sharding.Mesh` to run the observe under
+        ``jax.shard_map`` over, with every operand and output split on axis 0
+        (the env axis) along ``shard_axis``. ``pallas_call`` lowers to a
+        custom call whose sharding GSPMD treats conservatively — left to the
+        partitioner, a multi-device program would all-gather the env-sharded
+        lines/tables onto every device; shard_map instead pins one per-device
+        kernel over each local shard, with **no collectives by construction**
+        (pinned by ``tests/test_spmd_fused.py``'s compiled-HLO scan). With a
+        mesh, ``groups`` must be the per-shard-LOCAL bucket spec
+        (:func:`sharded_size_groups`) and pre-grouped static inputs must be
+        laid out by :func:`shard_group_rows`.
 
     Indices match the ungrouped kernel exactly; float outputs can drift ~1 ULP
     because XLA's fusion decisions differ between the sliced and full-shape
     programs (observable from a bare env-axis slice alone in interpret mode).
     """
+    if shard_mesh is not None:
+        from jax.sharding import PartitionSpec
+        spec = PartitionSpec(shard_axis)
+        arrays = (lines_now, attrs, table8, lines_width, angles, positions,
+                  table_patch)
+
+        def local(lines_now, attrs, table8, lines_width, angles, positions,
+                  table_patch):
+            return observe_grouped(
+                groups, lines_now, attrs, table8, lines_width, angles,
+                positions, res, half_screen_width, agent_radius,
+                want_seen=want_seen, env_block=env_block,
+                table_patch=table_patch, patch_rows=patch_rows,
+                draw_model=draw_model, skip_dyn=skip_dyn, fast_div=fast_div,
+                seen_blocks=seen_blocks, interpret=interpret)
+
+        # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
+        # annotation; the env axis is embarrassingly parallel here, so the
+        # static VMA analysis has nothing to catch.
+        return jax.shard_map(
+            local, mesh=shard_mesh,
+            in_specs=jax.tree.map(lambda _: spec, arrays),
+            out_specs=spec, check_vma=False)(*arrays)
     if len(groups) <= 1:
         return observe(lines_now, attrs, table8, lines_width, angles,
                        positions, res, half_screen_width, agent_radius,
@@ -691,8 +786,15 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
     if seen_blocks is not None:
         B = seen_blocks
     elif isinstance(table8, (tuple, list)):
-        # Without pad_to the scene compiler pads the texel axis to a multiple
-        # of 128, so the largest group's block count is the global one.
+        if want_seen:
+            # The max-group fallback is wrong whenever the scenery was built
+            # with pad_to padding the texel axis beyond this batch's own max:
+            # seen_counts would come out silently narrower than state.seen.
+            # Only the caller knows the global block count — require it.
+            raise ValueError('seen_blocks is required when want_seen=True '
+                             'with pre-grouped tables (group specs only know '
+                             'local sizes; under pad_to the global texel axis '
+                             'can be wider than every group)')
         B = max(g[3] for g in groups)
     else:
         B = table8.shape[-2] // 8

@@ -7,10 +7,14 @@ every chip. Params and optimizer state are replicated; each chip steps its env s
 all-reduce is the only per-step collective, riding ICI. This replaces the
 reference's ``DDP2`` gradient sync (``rebar/processes.py:39-70``).
 
-Build envs for a multi-chip mesh with ``obs_groups=1``: the fused observe's
-size buckets slice the env axis at group boundaries, which cut across device
-shards and force per-step resharding collectives around every group's kernel
-call (``parallel.scaling`` and ``parallel.host`` do this already).
+Build envs for a multi-chip mesh with ``shard_mesh=the mesh``: the fused
+observe then runs under ``jax.shard_map`` (a GSPMD-partitioned ``pallas_call``
+would all-gather its env-sharded operands — see
+:func:`megastep_tpu.ops.fused.observe_grouped`) with per-shard-LOCAL size
+buckets, so multi-device runs keep the bucketing lever. The learner's
+minibatching likewise goes shard-local (:func:`make_train_step`'s
+``shard_mesh``): the single-chip path's global random env gather would
+all-gather the whole rollout chunk every minibatch.
 """
 import numpy as np
 import jax
@@ -64,11 +68,17 @@ def shard_carry(carry, m):
 # n_envs=7 from being silently env-sharded.
 _REPLICATED_LEAF_NAMES = ('model', '_actionset')
 
+# Env-pytree leaves that are env-sharded regardless of their leading dim: the
+# pre-grouped fused-observe inputs (per-group arrays have dim 0 == n_envs / G,
+# laid out shard-major by ops.fused.shard_group_rows so an env sharding hands
+# each device its own group block).
+_ENV_SHARDED_LEAF_NAMES = ('_table8', '_lines_static', '_attrs_static')
+
 
 def shard_env(env, m):
     """Sharding tree for an env pytree: scenery/spawn-table leaves (leading dim ==
-    n_envs) split over the env axis, everything else (action tables, the shared
-    agent model) replicated."""
+    n_envs) and the pre-grouped observe inputs split over the env axis,
+    everything else (action tables, the shared agent model) replicated."""
     ns = {env.n_envs}
     if hasattr(env, 'core'):
         ns.add(env.core.n_envs)  # agent-as-env layouts (Deathmatch) scene-shard
@@ -77,6 +87,8 @@ def shard_env(env, m):
         names = {getattr(k, 'name', getattr(k, 'key', None)) for k in path}
         if names & set(_REPLICATED_LEAF_NAMES):
             return replicated(m)
+        if names & set(_ENV_SHARDED_LEAF_NAMES):
+            return env_sharding(m)
         if hasattr(x, 'shape') and x.ndim >= 1 and x.shape[0] in ns:
             return env_sharding(m)
         return replicated(m)
@@ -94,6 +106,27 @@ def place_carry(carry, m):
     return jax.tree_util.tree_map(jax.device_put, carry, shardings)
 
 
+#: Collectives that indicate GSPMD resharded an operand (vs the learner's
+#: expected gradient all-reduce).
+_COLLECTIVES = ('all-gather', 'all-to-all', 'collective-permute', 'all-reduce')
+
+
+def resharding_collectives(compiled, allow=('all-reduce',)):
+    """Collective op families present in a compiled program's HLO, minus the
+    allowed ones — an empty list means every env-sharded operand stayed
+    chip-local. The production hazard this guards: ``pallas_call`` lowers to a
+    custom call whose sharding GSPMD treats conservatively, silently
+    all-gathering the env-sharded lines/shade tables onto every device unless
+    the kernel runs under ``shard_map``. ``all-reduce`` is allowed by default
+    (the gradient sync — the one collective env-batch DP *should* have).
+
+    :param compiled: a jitted fn's ``.lower(...).compile()`` result, or its
+        ``as_text()`` string.
+    """
+    txt = compiled if isinstance(compiled, str) else compiled.as_text()
+    return [op for op in _COLLECTIVES if op not in allow and op in txt]
+
+
 def make_sharded_train_step(env, agent, opt, m, donate=True, **kwargs):
     """Jits the one-chunk training step over a device mesh.
 
@@ -107,7 +140,9 @@ def make_sharded_train_step(env, agent, opt, m, donate=True, **kwargs):
     """
     from ..demo.train import make_train_step
 
-    step = make_train_step(env, agent, opt, **kwargs)
+    # shard_mesh: shard-local learner minibatching (the global random env
+    # gather would all-gather the rollout chunk; see make_train_step).
+    step = make_train_step(env, agent, opt, shard_mesh=m, **kwargs)
 
     def compile_for(carry):
         sh = shard_carry(carry, m)

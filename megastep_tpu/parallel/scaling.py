@@ -38,22 +38,22 @@ def measure(n_envs, n_devices=None, width=256, buffer_size=32, steps=3,
         n_devices = len(jax.devices())
     geoms = floorplans.sample(min(n_envs, 512))
     geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
-    # obs_groups=1: size buckets slice the env axis at group boundaries, which
-    # cut across device shards on a multi-chip mesh and force per-step
-    # resharding collectives around every group's kernel call.
+    m = mesh(n_devices)
+    # shard_mesh: the fused observe runs under shard_map (per-shard-local size
+    # buckets — multi-device runs keep the bucketing lever) and the learner's
+    # minibatching goes shard-local (no chunk all-gather).
     env = Explorer(n_envs, geometries=geoms, res=res, subsample=subsample,
-                   obs_groups=1 if n_devices > 1 else None)
+                   shard_mesh=m)
     agent = Agent(env.obs_space, env.action_space, width=width)
     opt = optimizer()
 
-    m = mesh(n_devices)
     key = jax.random.PRNGKey(seed)
     carry = init_carry(env, agent, opt, key)
     carry = place_carry(carry, m)
     env = place_env(env, m)
 
     step = make_train_step(env, agent, opt, buffer_size=buffer_size,
-                           batch_size=buffer_size * n_envs // 2)
+                           batch_size=buffer_size * n_envs // 2, shard_mesh=m)
     jitted = jax.jit(step, in_shardings=(shard_env(env, m), shard_carry(carry, m),
                                          replicated(m)))
 

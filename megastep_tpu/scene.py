@@ -86,6 +86,38 @@ def size_order(geometries, n_agents=1):
     return np.argsort(texel_sizes(geometries, n_agents), kind='stable')
 
 
+def size_widths(geometries, n_agents=1):
+    """The ``(lines_width, tex_width)`` arrays a :func:`scenery` build of this
+    list would record, computed from the geometry list alone (cheap numpy, no
+    textures): line count = dynamic agent-model slots + walls, texel count =
+    :func:`texel_sizes`. Lets every host of a multi-process build compute the
+    globally-agreed size-bucket spec
+    (:func:`megastep_tpu.ops.fused.sharded_size_groups`) without building any
+    remote shard's textures (``parallel.host``)."""
+    n_dyn = n_agents * len(agent_model())
+    lw = np.array([n_dyn + len(np.asarray(g['walls'])) for g in geometries])
+    return lw, texel_sizes(geometries, n_agents)
+
+
+def striped_order(geometries, n_agents=1, n_shards=1):
+    """:func:`size_order`, striped over ``n_shards`` contiguous env-axis shards
+    (a device mesh's per-device blocks): env ``s * n_local + p`` gets the scene
+    of global size rank ``p * n_shards + s``, so every shard's local sequence
+    is ascending in texel count AND the union of all shards' local rows
+    ``[g0, g1)`` is exactly the global rank range ``[g0 * S, g1 * S)`` — the
+    property that makes per-shard size buckets
+    (:func:`megastep_tpu.ops.fused.sharded_size_groups`) pad to the same
+    maxima as a global sort would, on every shard, in one SPMD program."""
+    order = size_order(geometries, n_agents)
+    N = len(order)
+    if n_shards <= 1:
+        return order
+    assert N % n_shards == 0, (N, n_shards)
+    n_local = N // n_shards
+    idx = np.arange(N)
+    return order[(idx % n_local) * n_shards + idx // n_local]
+
+
 def sort_by_size(geometries, n_agents=1):
     """Stable-sorts a geometry list by :func:`texel_sizes` (ascending). Scene
     order carries no semantics — scenes are independent iid samples — so envs
