@@ -125,38 +125,15 @@ def bench(env, steps=64, reps=3):
 DM_BASELINE_FPS = 1_200_000.
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument('--envs', type=int, default=16 * 1024)
-    p.add_argument('--res', type=int, default=None)
-    p.add_argument('--steps', type=int, default=64)
-    p.add_argument('--kind', choices=['explorer', 'deathmatch'],
-                   default='explorer')
-    p.add_argument('--fast', action='store_true',
-                   help='fast shade (2 bf16 table components, ~1.5e-5 '
-                        'relative shade error; default is exact f32)')
-    p.add_argument('--draw-fused', action='store_true',
-                   help='deathmatch: rotate agent models inside the observe '
-                        'kernel (bit-exact; skips the XLA-side draw)')
-    p.add_argument('--obs-groups', type=int, default=None,
-                   help='size-bucket count for the fused observe (1 disables '
-                        'bucketing; default: the env\'s own default — 4 for '
-                        'explorer, 16 for deathmatch). A/B knob for the '
-                        'bucketing lever.')
-    args = p.parse_args()
-
-    if args.draw_fused and args.kind != 'deathmatch':
-        p.error('--draw-fused only applies to --kind deathmatch (Explorer '
-                'skips the draw automatically)')
-    res = args.res or (512 if args.kind == 'deathmatch' else 256)
-    baseline = DM_BASELINE_FPS if args.kind == 'deathmatch' else BASELINE_FPS
-
-    probe_backend()
-
+def run_kind(kind, args):
+    """Benchmarks one env kind with the retry/halve discipline and prints its
+    JSON line. Returns True on success (False = every env count failed)."""
     import gc
+    res = args.res or (512 if kind == 'deathmatch' else 256)
+    baseline = DM_BASELINE_FPS if kind == 'deathmatch' else BASELINE_FPS
 
     def attempt_once(n):
-        env = build(n, res=res, kind=args.kind,
+        env = build(n, res=res, kind=kind,
                     shade_splits=2 if args.fast else 3,
                     draw_fused=args.draw_fused, obs_groups=args.obs_groups)
         return bench(env, steps=args.steps)
@@ -176,7 +153,7 @@ def main():
                     # actually down — halving can't help and the loop would
                     # eat the driver's window. Bail with the distinct code.
                     if attempt > 0:
-                        _bail_backend_down(f'run@{n_envs}envs', e)
+                        _bail_backend_down(f'{kind}@{n_envs}envs', e)
                 print(f'attempt {attempt} at {n_envs} envs failed '
                       f'({type(e).__name__}: {str(e)[:200]})', file=sys.stderr)
                 # Drop the traceback's frame references (they pin the failed
@@ -189,13 +166,53 @@ def main():
         print(f'halving from {n_envs} envs', file=sys.stderr)
         n_envs //= 2
     if fps is None:
-        raise RuntimeError('bench failed at every env count')
+        print(f'{kind}: bench failed at every env count', file=sys.stderr)
+        return False
 
     print(json.dumps({
-        'metric': f'{args.kind}_env_steps_per_s@{n_envs}',
+        'metric': f'{kind}_env_steps_per_s@{n_envs}',
         'value': round(fps),
         'unit': 'steps/s',
-        'vs_baseline': round(fps / baseline, 3)}))
+        'vs_baseline': round(fps / baseline, 3)}), flush=True)
+    # Free the env/program buffers before the next kind compiles.
+    gc.collect()
+    jax.clear_caches()
+    return True
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--envs', type=int, default=16 * 1024)
+    p.add_argument('--res', type=int, default=None)
+    p.add_argument('--steps', type=int, default=64)
+    p.add_argument('--kind', choices=['explorer', 'deathmatch', 'both'],
+                   default='both',
+                   help='"both" (default) emits one JSON line per headline '
+                        'benchmark — Explorer first (the driver-recorded '
+                        'metric), then Deathmatch')
+    p.add_argument('--fast', action='store_true',
+                   help='fast shade (2 bf16 table components, ~1.5e-5 '
+                        'relative shade error; default is exact f32)')
+    p.add_argument('--draw-fused', action='store_true',
+                   help='deathmatch: rotate agent models inside the observe '
+                        'kernel (bit-exact; skips the XLA-side draw)')
+    p.add_argument('--obs-groups', type=int, default=None,
+                   help='size-bucket count for the fused observe (1 disables '
+                        'bucketing; default: the env\'s own default — 4 for '
+                        'explorer, 16 for deathmatch). A/B knob for the '
+                        'bucketing lever.')
+    args = p.parse_args()
+
+    if args.draw_fused and args.kind == 'explorer':
+        p.error('--draw-fused only applies to deathmatch (Explorer skips the '
+                'draw automatically)')
+
+    probe_backend()
+
+    kinds = ['explorer', 'deathmatch'] if args.kind == 'both' else [args.kind]
+    ok = [run_kind(kind, args) for kind in kinds]
+    if not any(ok):
+        raise RuntimeError('bench failed at every env count')
 
 
 if __name__ == '__main__':
