@@ -150,6 +150,99 @@ def test_real_markup_geometry_studio_golden():
     np.testing.assert_allclose(cavity_len, 3.2, atol=1e-6)
 
 
+def test_real_markup_rowhouse_transform_and_class_variants():
+    """Markup variants: a ``transform`` attribute on the Floor group (the
+    reference reads polygon points RAW and never applies transforms —
+    ``geometry.py:27``; a global translate is also normalized away by the
+    min-rebase), multi-token class lists (``Wall ExteriorWall``,
+    ``Door ParallelOpposite``, ``Space Bath Scale1``), an unclassed stray
+    polygon (ignored), and an L-shaped Space whose area centroid is the light."""
+    els = cubicasa.svg_elements(_fixture('rowhouse_c'))
+    assert len(els.walls) == 7   # ExteriorWall multi-token classes still match
+    assert len(els.doors) == 2
+    assert len(els.spaces) == 2  # the unclassed stray polygon is not a space
+
+    g = cubicasa.svg_geometry('rowhouse_c', _fixture('rowhouse_c'))
+    lengths = np.linalg.norm(g.walls[:, 1] - g.walls[:, 0], axis=1)
+    assert len(g.walls) == 35
+    np.testing.assert_allclose(lengths.sum(), 55.2, atol=1e-6)
+    # Raw-points parity: the 800 x 400 cm plan spans [1, 9] x [1, 5] exactly —
+    # the Floor group's translate(10, 20) must NOT shift relative geometry.
+    np.testing.assert_allclose(g.walls.reshape(-1, 2).min(0), [1., 1.], atol=1e-9)
+    np.testing.assert_allclose(g.walls.reshape(-1, 2).max(0), [9., 5.], atol=1e-9)
+    # L-shaped living room: the AREA centroid (6.708621, 3.237069), not the
+    # vertex mean — hand-computed from the two-rectangle decomposition.
+    np.testing.assert_allclose(
+        sorted(g.lights.tolist()),
+        [[2.6, 3.0], [6.708621, 3.237069]], atol=1e-6)
+    # door-1 (svg 300..320 x 100..180, dilated 5) cuts wall-5 clean through:
+    # no wall segment inside the opening x in (4.0, 4.2), y in (3.15, 4.05).
+    in_open = ((g.walls[..., 0] > 3.99) & (g.walls[..., 0] < 4.21)
+               & (g.walls[..., 1] > 3.16) & (g.walls[..., 1] < 4.04)).all(1)
+    assert not in_open.any()
+
+
+def test_real_markup_loft_pillar_ring_and_railing():
+    """A free-standing Wall pillar inside a Space: the union boundary emits the
+    pillar's own ring and the mask paints its outline -1 over the room; a
+    Railing merged into the west wall detours the inner ring; a Window nested
+    in a Wall is excluded from every bucket."""
+    els = cubicasa.svg_elements(_fixture('loft_d'))
+    assert len(els.walls) == 6   # 5 walls + 1 railing; the Window is excluded
+    assert len(els.doors) == 1
+    assert len(els.spaces) == 1
+
+    g = cubicasa.svg_geometry('loft_d', _fixture('loft_d'))
+    lengths = np.linalg.norm(g.walls[:, 1] - g.walls[:, 0], axis=1)
+    assert len(g.walls) == 28
+    np.testing.assert_allclose(lengths.sum(), 51.6, atol=1e-6)
+    # The pillar (svg 280..340 square, 0.6 m sides) survives as its own ring.
+    ring = ((g.walls[..., 0] >= 3.79) & (g.walls[..., 0] <= 4.41)
+            & (g.walls[..., 1] >= 3.79) & (g.walls[..., 1] <= 4.41)).all(1)
+    assert ring.sum() == 4
+    np.testing.assert_allclose(lengths[ring].sum(), 2.4, atol=1e-6)
+    # Mask: pillar edges paint -1 over the room (reference masks() buffers
+    # wall SEGMENTS, so the thick pillar's interior cell stays room-colored
+    # in both implementations — pinned).
+    from megastep_tpu import geometry
+    edges = geometry.indices(
+        np.array([[3.8, 4.1], [4.4, 4.1], [4.1, 4.405], [4.1, 3.805]]),
+        g.masks.shape, g.res)
+    assert all(g.masks[i, j] == -1 for i, j in edges)
+    center = geometry.indices(np.array([[4.1, 4.105]]), g.masks.shape, g.res)
+    assert g.masks[center[0, 0], center[0, 1]] == 1
+
+
+def test_real_markup_duplex_disjoint_components():
+    """Two disjoint wall unions (the reference's MultiPolygon skeleton branch,
+    ``geometry.py:49-52``): each building contributes its own rings; a door
+    through an exterior wall opens to the outside; a Door polygon outside
+    every wall is a no-op cut; the corridor between buildings is free space."""
+    els = cubicasa.svg_elements(_fixture('duplex_e'))
+    assert len(els.walls) == 8
+    assert len(els.doors) == 2   # the orphan door still parses
+    assert len(els.spaces) == 2  # trailing-whitespace class token list
+
+    g = cubicasa.svg_geometry('duplex_e', _fixture('duplex_e'))
+    w = g.walls
+    lengths = np.linalg.norm(w[:, 1] - w[:, 0], axis=1)
+    assert len(w) == 36
+    np.testing.assert_allclose(lengths.sum(), 67.2, atol=1e-6)
+    # Component split at the corridor: building A (door-cut) 32.8 m of 20
+    # segments, building B (intact, orphan-door no-op) 34.4 m of 16.
+    a = (w[..., 0] <= 6.0).all(1)
+    b = (w[..., 0] >= 8.4).all(1)
+    assert (a | b).all() and a.sum() == 20 and b.sum() == 16
+    np.testing.assert_allclose(lengths[a].sum(), 32.8, atol=1e-6)
+    np.testing.assert_allclose(lengths[b].sum(), 34.4, atol=1e-6)
+    np.testing.assert_allclose(
+        sorted(g.lights.tolist()), [[3.5, 3.0], [10.9, 3.0]], atol=1e-6)
+    # The corridor between buildings is free space in the mask.
+    from megastep_tpu import geometry
+    idx = geometry.indices(np.array([[7.2, 3.0]]), g.masks.shape, g.res)
+    assert g.masks[idx[0, 0], idx[0, 1]] == 0
+
+
 def test_geometry_data_zip_to_cache(tmp_path, monkeypatch):
     """The dataset pipeline end-to-end minus the download: a zip of model.svg
     entries (the dataset's layout) converts to the geometry cache, the cache

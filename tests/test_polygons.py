@@ -146,3 +146,77 @@ def test_random_rect_soup_vs_raster_oracle(seed):
     lhs, rhs = region(mid + 1e-6 * n), region(mid - 1e-6 * n)
     assert (lhs ^ rhs).all()
     assert lhs.all()   # solid on the left (orientation contract)
+
+
+@pytest.mark.parametrize('seed', range(3))
+def test_floorplan_scale_soup_vs_raster_oracle(seed):
+    """Boolean stage at real-floorplan scale (reference workloads feed 20-60
+    wall polygons + ~10 door cuts per plan, ``megastep/cubicasa.py:149-174``):
+    a generated plan — outer ring, room-grid partition walls, pillars, a
+    couple of rotated braces — with door cuts through random partition walls.
+    Same raster-perimeter oracle and boundary-sidedness contract as the small
+    soups above, at the polygon counts the dataset actually produces."""
+    rng = np.random.RandomState(100 + seed)
+    t = .2                          # wall thickness, m
+    W, H = rng.uniform(8, 14), rng.uniform(6, 10)
+
+    def hwall(x0, x1, y):
+        return np.array([[x0, y], [x1, y], [x1, y + t], [x0, y + t]])
+
+    def vwall(x, y0, y1):
+        return np.array([[x, y0], [x + t, y0], [x + t, y1], [x, y1]])
+
+    solids = [hwall(1, 1 + W, 1), hwall(1, 1 + W, 1 + H - t),
+              vwall(1, 1, 1 + H), vwall(1 + W - t, 1, 1 + H)]
+    # Room grid: 3-5 vertical + 2-3 horizontal partitions, jittered.
+    vxs = np.sort(rng.uniform(2.5, W - .5, rng.randint(3, 6))) + 1
+    hys = np.sort(rng.uniform(2, H - .5, rng.randint(2, 4))) + 1
+    cuts = []
+    for x in vxs:
+        solids.append(vwall(x, 1 + t, 1 + H - t))
+        y = rng.uniform(1.5, H - .5) + 1
+        cuts.append(vwall(x, y, y + .9))    # door through it
+    for y in hys:
+        solids.append(hwall(1 + t, 1 + W - t, y))
+        x = rng.uniform(1.5, W - 1.5) + 1
+        cuts.append(hwall(x, x + .9, y))
+    # Pillars + two rotated braces (off-axis vertices).
+    for _ in range(rng.randint(2, 5)):
+        c = rng.uniform(2.5, min(W, H) - .5, 2) + 1
+        s = rng.uniform(.3, .7)
+        solids.append(np.array([[0, 0], [s, 0], [s, s], [0, s]]) + c)
+    for _ in range(2):
+        c = rng.uniform(3, min(W, H) - 1, 2) + 1
+        a = rng.uniform(0, np.pi)
+        R = np.array([[np.cos(a), -np.sin(a)], [np.sin(a), np.cos(a)]])
+        pts = np.array([[-1.2, -t], [1.2, -t], [1.2, t], [-1.2, t]]) / 2
+        solids.append(pts @ R.T + c)
+    # Dilate cuts like the pipeline does (cubicasa.svg_walls, 5 cm).
+    cuts = [polygons.dilate_convex(c, .05) for c in cuts]
+    assert len(solids) >= 15 and len(cuts) >= 5
+
+    segs = polygons.boundary_segments(solids, cuts)
+    exact = _total(segs)
+    mask, res = _raster_region(solids, cuts, res=.02)
+    faces = (np.abs(np.diff(mask.astype(int), axis=0)).sum()
+             + np.abs(np.diff(mask.astype(int), axis=1)).sum())
+    manhattan = faces * res
+    assert exact <= manhattan * 1.05, (exact, manhattan)
+    assert exact >= manhattan / np.sqrt(2) * 0.95, (exact, manhattan)
+
+    mid = segs.mean(1)
+    tangents = segs[:, 1] - segs[:, 0]
+    tangents /= np.linalg.norm(tangents, axis=1, keepdims=True)
+    normals = np.stack([-tangents[:, 1], tangents[:, 0]], 1)
+
+    def region(pts):
+        inside = np.zeros(len(pts), bool)
+        for p in solids:
+            inside |= polygons.points_in_polygon(pts, np.asarray(p, float))
+        for p in cuts:
+            inside &= ~polygons.points_in_polygon(pts, np.asarray(p, float))
+        return inside
+
+    lhs, rhs = region(mid + 1e-6 * normals), region(mid - 1e-6 * normals)
+    assert (lhs ^ rhs).all()
+    assert lhs.all()
