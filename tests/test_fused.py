@@ -469,7 +469,8 @@ def test_pregrouped_inputs_bit_identical():
     table_g = fused.group_tables(groups, table)
     assert isinstance(table_g, tuple) and len(table_g) == 2
     pre = fused.observe_grouped(groups, lines_g, attrs_g, table_g, *args,
-                                want_seen=True, env_block=2, interpret=True)
+                                want_seen=True, env_block=2, interpret=True,
+                                seen_blocks=table.shape[-2] // 8)
     for k in ('indices', 'distances', 'screen', 'seen_counts'):
         np.testing.assert_array_equal(np.asarray(insliced[k]),
                                       np.asarray(pre[k]))
