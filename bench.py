@@ -67,9 +67,16 @@ def probe_backend(deadline_s=240):
 
 
 def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3,
-          draw_fused=False, obs_groups=None):
+          draw_fused=False, obs_groups=None, mesh_devices=0):
     from megastep_tpu import floorplans
     from megastep_tpu.envs import Deathmatch, Explorer
+    shard_mesh = None
+    if mesh_devices:
+        # A/B knob for the mesh-mode overhead at matched config (actor-only):
+        # the fused observe + re-bake run under shard_map with per-shard size
+        # buckets — the exact multi-device program, on an N-device mesh.
+        from megastep_tpu.parallel.mesh import mesh
+        shard_mesh = mesh(mesh_devices)
     if kind == 'deathmatch':
         # Reference Deathmatch bench: res 512, 4 agents/scene, agent-steps
         # accounting (docs/index.rst:19, deathmatch.py:44).
@@ -78,11 +85,13 @@ def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3,
         geoms = [geoms[i % len(geoms)] for i in range(n_scenes)]
         return Deathmatch(n_envs, n_agents=4, geometries=geoms, res=res,
                           subsample=subsample, shade_splits=shade_splits,
-                          draw_fused=draw_fused, obs_groups=obs_groups)
+                          draw_fused=draw_fused, obs_groups=obs_groups,
+                          shard_mesh=shard_mesh)
     geoms = floorplans.sample(min(n_envs, 512))
     geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
     return Explorer(n_envs, geometries=geoms, res=res, subsample=subsample,
-                    shade_splits=shade_splits, obs_groups=obs_groups)
+                    shade_splits=shade_splits, obs_groups=obs_groups,
+                    shard_mesh=shard_mesh)
 
 
 def bench(env, steps=64, reps=3):
@@ -135,7 +144,8 @@ def run_kind(kind, args):
     def attempt_once(n):
         env = build(n, res=res, kind=kind,
                     shade_splits=2 if args.fast else 3,
-                    draw_fused=args.draw_fused, obs_groups=args.obs_groups)
+                    draw_fused=args.draw_fused, obs_groups=args.obs_groups,
+                    mesh_devices=args.mesh)
         return bench(env, steps=args.steps)
 
     n_envs = args.envs
@@ -196,6 +206,10 @@ def main():
     p.add_argument('--draw-fused', action='store_true',
                    help='deathmatch: rotate agent models inside the observe '
                         'kernel (bit-exact; skips the XLA-side draw)')
+    p.add_argument('--mesh', type=int, default=0,
+                   help='run the env on an N-device mesh (shard_map observe, '
+                        'per-shard size buckets) — the matched-config A/B for '
+                        'the mesh-mode overhead; 0 (default) = unmeshed')
     p.add_argument('--obs-groups', type=int, default=None,
                    help='size-bucket count for the fused observe (1 disables '
                         'bucketing; default: the env\'s own default — 4 for '

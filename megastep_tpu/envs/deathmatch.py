@@ -172,20 +172,21 @@ class Deathmatch:
         damage = jnp.where(reset, 0., damage)
         return agents, health, damage
 
-    def _shoot(self, agents, health, damage, opponents):
+    def _shoot(self, agents, health, damage, opponents_mid):
         """Matches shooters to targets via the middle two columns of the opponent-id
         image, applies damage/wounds/out-of-bounds penalties
         (reference ``deathmatch.py:54-72``).
 
+        :param opponents_mid: (N, A, 1, 2) opponent ids at the two middle
+            columns of the downsampled render (pre-picked by the caller —
+            the fused path slices them straight off the kernel's index rows).
         :return: ``(health, damage, matchings, hits)``.
         """
-        res = opponents.shape[-1]
-        middle = slice(res // 2 - 1, res // 2 + 1)
         A = self.core.n_agents
         ids = jnp.arange(A)
-        # opponents: (N, A, 1, res); matchings: (N, shooter, target)
-        matchings = (opponents[:, :, None] == ids[None, None, :, None, None])
-        matchings = matchings[..., middle].any(-1).any(-1)
+        # matchings: (N, shooter, target)
+        matchings = (opponents_mid[:, :, None] == ids[None, None, :, None, None])
+        matchings = matchings.any(-1).any(-1)
 
         hits = matchings.sum(2).astype(jnp.float32)
         wounds = matchings.sum(1).astype(jnp.float32)
@@ -276,6 +277,20 @@ class Deathmatch:
             lines_in = scn.lines.at[:, :scn.n_dynamic].set(dyn_lines)
             attrs_in = fused_ops.line_attrs(lines_in, scn)
             dm = 0
+        s = self._rgb.subsample
+        # The two rays the shoot test reads: downsample(indices, s)[..., s//2]
+        # at the middle two downsampled columns — a strided slice of the raw
+        # index rows (the ONLY consumers of the full-res indices), applied per
+        # size group so the full-res streams never ride the group concat.
+        res_ds = c.res // s
+        r0 = s * (res_ds // 2 - 1) + s // 2
+
+        def epilogue(o):
+            rgb, d = modules.fused_obs(o, s, c.agent_radius,
+                                       self._depth.max_depth)
+            return arrdict(rgb=rgb, d=d,
+                           mid=o.indices[..., r0:r0 + s + 1:s][:, :, None])
+
         out = fused_ops.observe_grouped(
             self._groups,
             lines_in, attrs_in, table8,
@@ -283,15 +298,13 @@ class Deathmatch:
             c.half_screen_width, c.agent_radius, want_seen=False,
             table_patch=patch, patch_rows=rows, draw_model=dm,
             interpret=not modules.on_tpu(),
-            shard_mesh=self.shard_mesh, shard_axis=self.shard_axis)
+            shard_mesh=self.shard_mesh, shard_axis=self.shard_axis,
+            epilogue=epilogue)
 
-        s = self._rgb.subsample
-        line_idxs = modules.downsample(out.indices, s)[..., s // 2][:, :, None]
-        opponents = self._opponents(line_idxs)
+        opponents = self._opponents(out.mid)
         health, damage, matchings, hits = self._shoot(agents, health, damage,
                                                       opponents)
-        rgb, d = modules.fused_obs(out, s, c.agent_radius, self._depth.max_depth)
-        obs = arrdict(rgb=rgb, d=d, imu=self._imu(agents),
+        obs = arrdict(rgb=out.rgb, d=out.d, imu=self._imu(agents),
                       health=health[..., None])
         return obs, health, damage, matchings, hits
 
@@ -301,7 +314,9 @@ class Deathmatch:
         r = modules.render(self.core, agents)
         line_idxs = modules.downsample(
             r.indices, self._rgb.subsample)[..., self._rgb.subsample // 2]
-        opponents = self._opponents(line_idxs)
+        res_ds = line_idxs.shape[-1]
+        middle = slice(res_ds // 2 - 1, res_ds // 2 + 1)
+        opponents = self._opponents(line_idxs[..., middle])
         health, damage, matchings, hits = self._shoot(agents, health, damage, opponents)
         obs = arrdict(
             rgb=self._rgb(r),

@@ -210,6 +210,15 @@ class Explorer:
             lines_now = render_ops.draw(scn, agents)
             attrs = fused_ops.line_attrs(lines_now, scn)
             skip = 0
+        s = self._rgb.subsample
+
+        def epilogue(o):
+            # Pool per size group, before the env-axis concat: only the
+            # subsampled obs ride the concat, not the full-res streams.
+            rgb, d = modules.fused_obs(o, s, c.agent_radius,
+                                       self._depth.max_depth)
+            return arrdict(rgb=rgb, d=d)
+
         out = fused_ops.observe_grouped(
             self._groups,
             lines_now, attrs, self._table8,
@@ -221,11 +230,9 @@ class Explorer:
             # sizes — the seen_counts width must still match state.seen.
             seen_blocks=-(-scn.baked.shape[1] // fused_ops.LO_WIDTH),
             interpret=not modules.on_tpu(),
-            shard_mesh=self.shard_mesh, shard_axis=self.shard_axis)
-
-        s = self._rgb.subsample
-        rgb, d = modules.fused_obs(out, s, c.agent_radius, self._depth.max_depth)
-        obs = arrdict(rgb=rgb, d=d, imu=self._imu(agents))
+            shard_mesh=self.shard_mesh, shard_axis=self.shard_axis,
+            epilogue=epilogue)
+        obs = arrdict(rgb=out.rgb, d=out.d, imu=self._imu(agents))
 
         T = state_seen.shape[1]
         seen = state_seen | (out.seen_counts[:, :T] > 0)

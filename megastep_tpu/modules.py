@@ -264,17 +264,32 @@ class RandomSpawns:
         angles = random.uniform(-180, +180, (len(geometries), core.n_agents, n_spawns))
         self._spawns = jaxify(arrdict(positions=positions, angles=angles))
 
-    def __call__(self, agents, reset, key):
+    def __call__(self, agents, reset, key, onehot=None):
         """Returns a new agents pytree with the ``reset``-masked agents respawned.
 
         :param reset: (n_env, n_agent) bool mask.
         :param key: a jax PRNG key consumed to choose spawn slots.
+        :param onehot: spawn-slot lookup strategy; ``None`` picks one-hot on
+            TPU and the gather elsewhere. Explicit values are honored on any
+            backend so a CPU unit test can pin the two paths equal
+            (tests/test_modules.py), like ``pool_mean(dot=...)``.
         """
         n_spawns = self._spawns.angles.shape[-1]
         choices = jax.random.randint(key, reset.shape, 0, n_spawns)
-        angles = jnp.take_along_axis(self._spawns.angles, choices[..., None], -1)[..., 0]
-        positions = jnp.take_along_axis(
-            self._spawns.positions, choices[..., None, None], -2)[..., 0, :]
+        if on_tpu() if onehot is None else onehot:
+            # One-hot select instead of take_along_axis: TPU emulates gathers
+            # serially (~0.4 ms/step at 16k agent-envs on the profile — the
+            # whole physics stage's dominant cost). Exactly one slot matches,
+            # so the masked sum reproduces the gathered row bit-for-bit.
+            oh = choices[..., None] == jnp.arange(n_spawns)        # (N, A, S)
+            angles = jnp.where(oh, self._spawns.angles, 0.).sum(-1)
+            positions = jnp.where(
+                oh[..., None], self._spawns.positions, 0.).sum(-2)
+        else:
+            angles = jnp.take_along_axis(
+                self._spawns.angles, choices[..., None], -1)[..., 0]
+            positions = jnp.take_along_axis(
+                self._spawns.positions, choices[..., None, None], -2)[..., 0, :]
         return type(agents)(
             angles=jnp.where(reset, angles, agents.angles),
             positions=jnp.where(reset[..., None], positions, agents.positions),

@@ -429,7 +429,11 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
 
 # Empirical per-env scoped-VMEM footprint: ~14 live (L, R) f32 buffers in the
 # raycast, plus the (W, R)/(B, R) one-hots and the 3-way split table copies.
-_VMEM_BUDGET = 80 * 1024 * 1024
+# 88 MB admits E=32 at the res-512 floorplan worst case (L=64, B=19 ->
+# ~85 MB estimated), chip-validated under the 100 MB Mosaic limit and 2.4%
+# faster than the E=16 the old 80 MB budget forced (fbE32.log 13.22 ms vs
+# fbE16.log 13.53 ms at 16k ungrouped agent-envs).
+_VMEM_BUDGET = 88 * 1024 * 1024
 
 
 def default_env_block(n_envs, n_lines=64, res=256, n_blocks=16):
@@ -720,7 +724,7 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                     want_seen=True, env_block=None, table_patch=None,
                     patch_rows=(), draw_model=0, skip_dyn=0, fast_div=False,
                     seen_blocks=None, interpret=False, shard_mesh=None,
-                    shard_axis='env'):
+                    shard_axis='env', epilogue=None):
     """:func:`observe` over size-sorted env buckets (:func:`size_groups`): each
     contiguous group runs the kernel with lines/table sliced to the group's own
     padded sizes, and the results concatenate back along the env axis. Safe
@@ -749,6 +753,18 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
         (:func:`sharded_size_groups`) and pre-grouped static inputs must be
         laid out by :func:`shard_group_rows`.
 
+    :param epilogue: optional per-group consumer,
+        ``epilogue(arrdict(indices, distances, screen)) -> arrdict`` — applied
+        to each group's kernel outputs BEFORE the env-axis concatenation, so
+        per-env reductions (obs pooling, the Deathmatch mid-column pick) run
+        on the group slice and only their (much smaller) results concatenate.
+        Without it the full-res screen/distances/indices streams materialize
+        through the concat just to be pooled right after (~1 ms/step at the
+        Deathmatch 16k config on the profile). Per-env elementwise/pooled
+        outputs are bit-identical either side of a concat, so this is purely
+        a scheduling hook. ``seen_counts`` is concatenated (padded per group)
+        exactly as before and is not passed to the epilogue.
+
     Indices match the ungrouped kernel exactly; float outputs can drift ~1 ULP
     because XLA's fusion decisions differ between the sliced and full-shape
     programs (observable from a bare env-axis slice alone in interpret mode).
@@ -767,7 +783,8 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
                 want_seen=want_seen, env_block=env_block,
                 table_patch=table_patch, patch_rows=patch_rows,
                 draw_model=draw_model, skip_dyn=skip_dyn, fast_div=fast_div,
-                seen_blocks=seen_blocks, interpret=interpret)
+                seen_blocks=seen_blocks, interpret=interpret,
+                epilogue=epilogue)
 
         # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
         # annotation; the env axis is embarrassingly parallel here, so the
@@ -777,12 +794,19 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
             in_specs=jax.tree.map(lambda _: spec, arrays),
             out_specs=spec, check_vma=False)(*arrays)
     if len(groups) <= 1:
-        return observe(lines_now, attrs, table8, lines_width, angles,
-                       positions, res, half_screen_width, agent_radius,
-                       want_seen=want_seen, env_block=env_block,
-                       table_patch=table_patch, patch_rows=patch_rows,
-                       draw_model=draw_model, skip_dyn=skip_dyn,
-                       fast_div=fast_div, interpret=interpret)
+        out = observe(lines_now, attrs, table8, lines_width, angles,
+                      positions, res, half_screen_width, agent_radius,
+                      want_seen=want_seen, env_block=env_block,
+                      table_patch=table_patch, patch_rows=patch_rows,
+                      draw_model=draw_model, skip_dyn=skip_dyn,
+                      fast_div=fast_div, interpret=interpret)
+        if epilogue is None:
+            return out
+        seen = out.pop('seen_counts') if want_seen else None
+        out = epilogue(out)
+        if want_seen:
+            out['seen_counts'] = seen
+        return out
     if seen_blocks is not None:
         B = seen_blocks
     elif isinstance(table8, (tuple, list)):
@@ -804,7 +828,7 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
         table8 = group_tables(groups, table8)
     if not isinstance(lines_now, (tuple, list)):
         lines_now, attrs = group_lines(groups, lines_now, attrs)
-    outs = []
+    outs, seens = [], []
     for gi, (g0, g1, Lg, Bg) in enumerate(groups):
         pg, rg = None, ()
         if table_patch is not None:
@@ -812,20 +836,20 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
             # a sliced table keeps only the rows below its own block count.
             rg = tuple(r for r in patch_rows if r < 8 * Bg)
             pg = table_patch[g0:g1, :, :len(rg), :]
-        outs.append(observe(
+        o = observe(
             lines_now[gi], attrs[gi], table8[gi],
             lines_width[g0:g1], angles[g0:g1], positions[g0:g1], res,
             half_screen_width, agent_radius, want_seen=want_seen,
             env_block=env_block, table_patch=pg, patch_rows=rg,
             draw_model=draw_model, skip_dyn=skip_dyn, fast_div=fast_div,
-            interpret=interpret))
-    out = arrdict(
-        indices=jnp.concatenate([o.indices for o in outs]),
-        distances=jnp.concatenate([o.distances for o in outs]),
-        screen=jnp.concatenate([o.screen for o in outs]))
+            interpret=interpret)
+        if want_seen:
+            seens.append(o.pop('seen_counts'))
+        outs.append(epilogue(o) if epilogue is not None else o)
+    out = arrdict({k: jnp.concatenate([o[k] for o in outs])
+                   for k in outs[0]})
     if want_seen:
         out['seen_counts'] = jnp.concatenate(
-            [jnp.pad(o.seen_counts,
-                     ((0, 0), (0, (B - g[3]) * LO_WIDTH)))
-             for g, o in zip(groups, outs)])
+            [jnp.pad(sc, ((0, 0), (0, (B - g[3]) * LO_WIDTH)))
+             for g, sc in zip(groups, seens)])
     return out

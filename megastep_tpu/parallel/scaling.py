@@ -23,9 +23,12 @@ import jax
 
 
 def measure(n_envs, n_devices=None, width=256, buffer_size=32, steps=3,
-            res=256, subsample=4, seed=0):
+            res=256, subsample=4, seed=0, batch_size=None):
     """Steps/s of the full sharded train step on an ``n_devices`` mesh.
 
+    :param batch_size: learner minibatch size; default half the chunk. Pass
+        the flagship 16,384 to compare 1-device-mesh numbers against
+        ``perf/train_flagship.py`` at a matched config.
     :return: dict with steps_per_s and the mesh size.
     """
     from .. import floorplans
@@ -53,7 +56,8 @@ def measure(n_envs, n_devices=None, width=256, buffer_size=32, steps=3,
     env = place_env(env, m)
 
     step = make_train_step(env, agent, opt, buffer_size=buffer_size,
-                           batch_size=buffer_size * n_envs // 2, shard_mesh=m)
+                           batch_size=batch_size or buffer_size * n_envs // 2,
+                           shard_mesh=m)
     jitted = jax.jit(step, in_shardings=(shard_env(env, m), shard_carry(carry, m),
                                          replicated(m)))
 
@@ -75,12 +79,16 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--envs', type=int, default=64 * 1024)
     p.add_argument('--devices', type=int, default=None)
+    p.add_argument('--batch', type=int, default=None,
+                   help='learner minibatch (default: half the chunk); pass '
+                        '16384 for a train_flagship-matched comparison')
     args = p.parse_args()
 
-    full = measure(args.envs, args.devices)
+    full = measure(args.envs, args.devices, batch_size=args.batch)
     n_dev = full['n_devices']
     if n_dev > 1:
-        single = measure(args.envs // n_dev, 1)
+        single = measure(args.envs // n_dev, 1,
+                         batch_size=args.batch and args.batch // n_dev)
         eff = full['steps_per_s'] / (single['steps_per_s'] * n_dev)
         print(f"1 device: {single['steps_per_s']:,.0f} steps/s")
         print(f"{n_dev} devices: {full['steps_per_s']:,.0f} steps/s "

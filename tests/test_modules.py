@@ -82,6 +82,24 @@ def test_random_spawns(box_core):
     np.testing.assert_allclose(np.asarray(same.positions), np.asarray(agents.positions))
 
 
+def test_random_spawns_onehot_matches_gather(box_core):
+    """The one-hot spawn-slot select (the production TPU path — gathers
+    serialize there) must be BIT-identical to the take_along_axis reference:
+    exactly one slot matches, so the masked sum is the gathered row."""
+    geoms, c = box_core
+    spawner = modules.RandomSpawns(geoms, c, n_spawns=50)
+    agents = c.init_agents()
+    reset = c.agent_full(True)
+    for i in range(3):
+        key = jax.random.PRNGKey(i)
+        a = spawner(agents, reset, key, onehot=False)
+        b = spawner(agents, reset, key, onehot=True)
+        np.testing.assert_array_equal(np.asarray(a.positions),
+                                      np.asarray(b.positions))
+        np.testing.assert_array_equal(np.asarray(a.angles),
+                                      np.asarray(b.angles))
+
+
 def test_random_lifespans(box_core):
     _, c = box_core
     lifespans = modules.RandomLifespans(c, max_lifespan=6, min_lifespan=3)
