@@ -206,7 +206,7 @@ class Deathmatch:
         return modules.use_fused(self.fused)
 
     def _opponents(self, line_idxs):
-        """Opponent agent ids from (N, A, 1, res/s) mid-column line indices
+        """Opponent agent ids from (N, A, 1, 2) middle-column line indices
         (-1 where the pixel shows no agent model) - shared by both observe
         paths (reference ``deathmatch.py:74-86``)."""
         obj_idxs = line_idxs // self.core.scenery.n_model_lines
@@ -280,16 +280,18 @@ class Deathmatch:
         s = self._rgb.subsample
         # The two rays the shoot test reads: downsample(indices, s)[..., s//2]
         # at the middle two downsampled columns — a strided slice of the raw
-        # index rows (the ONLY consumers of the full-res indices), applied per
-        # size group so the full-res streams never ride the group concat.
+        # index rows (the ONLY consumers of the full-res indices). The
+        # epilogue runs in the kernel's raw block layout, per size group, so
+        # the full-res streams never ride the multi-agent transpose or the
+        # group concat (see ops.fused.observe's epilogue contract).
         res_ds = c.res // s
         r0 = s * (res_ds // 2 - 1) + s // 2
 
-        def epilogue(o):
-            rgb, d = modules.fused_obs(o, s, c.agent_radius,
-                                       self._depth.max_depth)
+        def epilogue(raw):
+            rgb, d = modules.fused_obs_raw(raw, s, c.agent_radius,
+                                           self._depth.max_depth, c.res)
             return arrdict(rgb=rgb, d=d,
-                           mid=o.indices[..., r0:r0 + s + 1:s][:, :, None])
+                           mid=raw.indices[..., r0:r0 + s + 1:s])
 
         out = fused_ops.observe_grouped(
             self._groups,
@@ -301,11 +303,12 @@ class Deathmatch:
             shard_mesh=self.shard_mesh, shard_axis=self.shard_axis,
             epilogue=epilogue)
 
-        opponents = self._opponents(out.mid)
+        opponents = self._opponents(out.mid[:, :, None])
         health, damage, matchings, hits = self._shoot(agents, health, damage,
                                                       opponents)
-        obs = arrdict(rgb=out.rgb, d=out.d, imu=self._imu(agents),
-                      health=health[..., None])
+        obs = arrdict(rgb=out.rgb[:, :, :, None, :],
+                      d=out.d[:, :, None, None, :],
+                      imu=self._imu(agents), health=health[..., None])
         return obs, health, damage, matchings, hits
 
     def _observe(self, agents, health, damage):

@@ -212,11 +212,12 @@ class Explorer:
             skip = 0
         s = self._rgb.subsample
 
-        def epilogue(o):
-            # Pool per size group, before the env-axis concat: only the
-            # subsampled obs ride the concat, not the full-res streams.
-            rgb, d = modules.fused_obs(o, s, c.agent_radius,
-                                       self._depth.max_depth)
+        def epilogue(raw):
+            # Pool in the kernel's raw block layout, per size group: only the
+            # subsampled obs ride the group concat, not the full-res streams
+            # (see ops.fused.observe's epilogue contract).
+            rgb, d = modules.fused_obs_raw(raw, s, c.agent_radius,
+                                           self._depth.max_depth, c.res)
             return arrdict(rgb=rgb, d=d)
 
         out = fused_ops.observe_grouped(
@@ -232,7 +233,8 @@ class Explorer:
             interpret=not modules.on_tpu(),
             shard_mesh=self.shard_mesh, shard_axis=self.shard_axis,
             epilogue=epilogue)
-        obs = arrdict(rgb=out.rgb, d=out.d, imu=self._imu(agents))
+        obs = arrdict(rgb=out.rgb[:, :, :, None, :],
+                      d=out.d[:, :, None, None, :], imu=self._imu(agents))
 
         T = state_seen.shape[1]
         seen = state_seen | (out.seen_counts[:, :T] > 0)

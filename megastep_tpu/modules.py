@@ -149,6 +149,26 @@ def fused_obs(out, subsample, agent_radius, max_depth):
     return rgb, d
 
 
+def fused_obs_raw(raw, subsample, agent_radius, max_depth, res):
+    """:func:`fused_obs` on the kernel's RAW (NB, A, E, ·) block layout — the
+    body of an ``ops.fused.observe(epilogue=...)`` hook: pooling here runs
+    before the multi-agent transpose and the size-group concat, so only
+    ``1/subsample`` of the data rides either (the full-res copies were ~1.5
+    ms/step at the Deathmatch 16k config). Pooled values are bit-identical to
+    :func:`fused_obs` of the transposed outputs: the reduce is per env row,
+    and ``pool_mean``'s agent-axis auto rule sees the same ``A`` at axis 1.
+
+    :param raw: arrdict with ``screen`` (NB, A, E, 3·res) (channels at static
+        lane offsets) and ``distances`` (NB, A, E, res).
+    :return: ``(rgb, d)`` — (NB, A, E, 3, res/s) and (NB, A, E, res/s).
+    """
+    scr = raw.screen.reshape(*raw.screen.shape[:-1], 3, res)   # free split
+    rgb = pool_mean(scr, subsample)
+    depth = 1 - jnp.clip((raw.distances - agent_radius) / max_depth, 0, 1)
+    d = pool_mean(depth, subsample)
+    return rgb, d
+
+
 def downsample(screen, subsample):
     """Factors the final width dimension into (width/subsample, subsample); chase
     with a mean/min/max over the trailing axis (reference ``modules.py:138-145``)."""

@@ -451,11 +451,11 @@ def default_env_block(n_envs, n_lines=64, res=256, n_blocks=16):
 @partial(jax.jit, static_argnames=('res', 'half_screen_width', 'agent_radius',
                                    'want_seen', 'env_block', 'patch_rows',
                                    'draw_model', 'skip_dyn', 'fast_div',
-                                   'interpret'))
+                                   'interpret', 'epilogue'))
 def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
             half_screen_width, agent_radius, want_seen=True, env_block=None,
             table_patch=None, patch_rows=(), draw_model=0, skip_dyn=0,
-            fast_div=False, interpret=False):
+            fast_div=False, interpret=False, epilogue=None):
     """Fused raycast + shade (+ seen counts) over the whole env batch.
 
     :param lines_now: (N, L, 2, 2) this frame's lines (after :func:`render.draw`);
@@ -496,8 +496,20 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
         flip tolerance-boundary winners, so opt-in (A/B via
         ``perf/fused_bench.py --fast-div``); the default keeps indices and
         distances exact vs the jnp reference.
+    :param epilogue: optional consumer applied to the kernel outputs in their
+        RAW (NB, A, E, ·) block layout, BEFORE the (NB, A, E) -> (N, A)
+        transpose: ``epilogue(arrdict(indices, distances, screen)) -> arrdict``
+        with ``screen`` as the (NB, A, E, 3·res) stream (channels at static
+        lane offsets — ``x.reshape(*x.shape[:-1], 3, res)`` splits them for
+        free). Per-env reductions (obs pooling, the Deathmatch mid-column
+        pick) belong here: the multi-agent transpose materializes a copy, so
+        pooling first moves ``subsample``× less data through it. Each
+        returned leaf must stay (NB, A, E, ...) and is transposed/reshaped to
+        (N, A, ...) for the caller. ``seen_counts`` is handled separately and
+        never passes through the epilogue.
     :return: arrdict with ``indices`` (N, A, R) i32, ``distances`` (N, A, R),
-        ``screen`` (N, A, 3, R), and (if ``want_seen``) ``seen_counts``
+        ``screen`` (N, A, 3, R) (or the epilogue's outputs at (N, A, ...)),
+        and (if ``want_seen``) ``seen_counts``
         (N, B*128) f32 — slice to the scenery's T texels. Counts ride HBM as
         bf16 (exact ≤ 256, nonzero-preserving above); consume as ``> 0``.
     """
@@ -588,16 +600,18 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
     idx, dist, rgb = outs[:3]
 
     def to_nar(x):
-        # (NB, A, E, W) -> (N, A, W); for A == 1 this is a pure reshape.
-        W_ = x.shape[-1]
-        return x.transpose(0, 2, 1, 3).reshape(N, A, W_)
+        # (NB, A, E, ...) -> (N, A, ...); for A == 1 this is a pure reshape.
+        perm = (0, 2, 1) + tuple(range(3, x.ndim))
+        return x.transpose(perm).reshape(N, A, *x.shape[3:])
 
-    out = arrdict(
-        indices=to_nar(idx),
-        distances=to_nar(dist),
+    raw = arrdict(indices=idx, distances=dist, screen=rgb)
+    if epilogue is not None:
+        raw = epilogue(raw)
+    out = arrdict({k: to_nar(v) for k, v in raw.items()})
+    if epilogue is None:
         # The kernel lays channels out at static lane offsets of one (E, 3R)
         # stream; the channel split here is a free reshape, not a stack copy.
-        screen=to_nar(rgb).reshape(N, A, 3, res))
+        out['screen'] = out.screen.reshape(N, A, 3, res)
     if want_seen:
         # (NB, A, E, B, W): sum per-agent counts in f32 (the kernel emits bf16);
         # (B, W) flattens to the texel axis row-major for free.
@@ -753,17 +767,18 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
         (:func:`sharded_size_groups`) and pre-grouped static inputs must be
         laid out by :func:`shard_group_rows`.
 
-    :param epilogue: optional per-group consumer,
-        ``epilogue(arrdict(indices, distances, screen)) -> arrdict`` — applied
-        to each group's kernel outputs BEFORE the env-axis concatenation, so
-        per-env reductions (obs pooling, the Deathmatch mid-column pick) run
-        on the group slice and only their (much smaller) results concatenate.
-        Without it the full-res screen/distances/indices streams materialize
-        through the concat just to be pooled right after (~1 ms/step at the
-        Deathmatch 16k config on the profile). Per-env elementwise/pooled
-        outputs are bit-identical either side of a concat, so this is purely
-        a scheduling hook. ``seen_counts`` is concatenated (padded per group)
-        exactly as before and is not passed to the epilogue.
+    :param epilogue: optional raw-layout consumer forwarded to each group's
+        :func:`observe` call (see there for the contract): per-env reductions
+        (obs pooling, the Deathmatch mid-column pick) run on each group's
+        kernel outputs in their (NB, A, E, ·) block layout, BEFORE the
+        multi-agent transpose and the env-axis concatenation — so only the
+        pooled results ride both. Without it the full-res streams materialize
+        through transpose + concat just to be pooled right after (~1.5
+        ms/step at the Deathmatch 16k config on the profile). Per-env
+        elementwise/pooled outputs are bit-identical either side of a
+        transpose or concat, so this is purely a scheduling hook.
+        ``seen_counts`` is concatenated (padded per group) exactly as before
+        and is not passed to the epilogue.
 
     Indices match the ungrouped kernel exactly; float outputs can drift ~1 ULP
     because XLA's fusion decisions differ between the sliced and full-shape
@@ -794,19 +809,13 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
             in_specs=jax.tree.map(lambda _: spec, arrays),
             out_specs=spec, check_vma=False)(*arrays)
     if len(groups) <= 1:
-        out = observe(lines_now, attrs, table8, lines_width, angles,
-                      positions, res, half_screen_width, agent_radius,
-                      want_seen=want_seen, env_block=env_block,
-                      table_patch=table_patch, patch_rows=patch_rows,
-                      draw_model=draw_model, skip_dyn=skip_dyn,
-                      fast_div=fast_div, interpret=interpret)
-        if epilogue is None:
-            return out
-        seen = out.pop('seen_counts') if want_seen else None
-        out = epilogue(out)
-        if want_seen:
-            out['seen_counts'] = seen
-        return out
+        return observe(lines_now, attrs, table8, lines_width, angles,
+                       positions, res, half_screen_width, agent_radius,
+                       want_seen=want_seen, env_block=env_block,
+                       table_patch=table_patch, patch_rows=patch_rows,
+                       draw_model=draw_model, skip_dyn=skip_dyn,
+                       fast_div=fast_div, interpret=interpret,
+                       epilogue=epilogue)
     if seen_blocks is not None:
         B = seen_blocks
     elif isinstance(table8, (tuple, list)):
@@ -842,10 +851,10 @@ def observe_grouped(groups, lines_now, attrs, table8, lines_width, angles,
             half_screen_width, agent_radius, want_seen=want_seen,
             env_block=env_block, table_patch=pg, patch_rows=rg,
             draw_model=draw_model, skip_dyn=skip_dyn, fast_div=fast_div,
-            interpret=interpret)
+            interpret=interpret, epilogue=epilogue)
         if want_seen:
             seens.append(o.pop('seen_counts'))
-        outs.append(epilogue(o) if epilogue is not None else o)
+        outs.append(o)
     out = arrdict({k: jnp.concatenate([o[k] for o in outs])
                    for k in outs[0]})
     if want_seen:

@@ -152,14 +152,18 @@ def main():
         # distances, and indices each feed a separate consumer chain
         # (shade/obs, depth, _opponents), and any left loop-invariant would
         # let XLA hoist that chain out of the scan and under-time the stage.
+        # Mirrors the production per-group epilogue flow (the mid-column
+        # strided slice of the raw index rows, not a full downsample).
         izero = (carry * 0).astype(inp.out0.indices.dtype)
         out = arrdict({**inp.out0,
                        'screen': inp.out0.screen + carry,
                        'distances': inp.out0.distances + carry,
                        'indices': inp.out0.indices + izero})
         s = env._rgb.subsample
-        line_idxs = modules.downsample(out.indices, s)[..., s // 2][:, :, None]
-        opp = env._opponents(line_idxs)
+        res_ds = c.res // s
+        r0 = s * (res_ds // 2 - 1) + s // 2
+        mid = out.indices[..., r0:r0 + s + 1:s][:, :, None]
+        opp = env._opponents(mid)
         h, d, m, hits = env._shoot(inp.agents, inp.health + carry,
                                    inp.damage, opp)
         rgb, dd = modules.fused_obs(out, s, c.agent_radius,
@@ -188,8 +192,9 @@ def main():
         izero = (carry * 0).astype(inp.out0.indices.dtype)
         idx = inp.out0.indices + izero
         s = env._rgb.subsample
-        line_idxs = modules.downsample(idx, s)[..., s // 2][:, :, None]
-        opp = env._opponents(line_idxs)
+        res_ds = c.res // s
+        r0 = s * (res_ds // 2 - 1) + s // 2
+        opp = env._opponents(idx[..., r0:r0 + s + 1:s][:, :, None])
         h, d, m, hits = env._shoot(inp.agents, inp.health + carry,
                                    inp.damage, opp)
         return carry + 1e-4, h.sum() + hits.sum() + d.sum()

@@ -1,0 +1,269 @@
+"""Roofline / MFU accounting for the fused observe kernel and the train step.
+
+PERF.md's appendix is generated from this script (VERDICT r4 #6): it
+(a) MEASURES this chip's attainable peaks — bf16 MXU matmul flops, f32 VPU
+    elementwise ops, HBM stream bandwidth — with the same scan/fetch timing
+    hygiene as the other perf scripts (axon tunnel: vary inputs per rep,
+    force a device->host fetch in the timed region, median of reps);
+(b) COUNTS the fused kernel's per-step work analytically from its shapes
+    (pass-by-pass over ``ops/fused._observe_kernel``'s (L, R) chain — the
+    count is code, so a reviewer can re-derive it against the kernel source);
+(c) combines both with a measured step time into "% of binding roofline" for
+    the kernel and an MFU-style figure for the whole step.
+
+Usage::
+
+    python perf/roofline.py                 # peaks + Explorer@16k + DM@16k
+    python perf/roofline.py --skip-peaks    # analytic tables only
+"""
+import argparse
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timed(fn, *args, steps=32, reps=4):
+    """Median seconds per scan step, axon-hygienic (CLAUDE.md measurement
+    traps): per-rep input perturbation, in-region fetch, median of reps."""
+    f = jax.jit(fn, static_argnames=('steps',))
+    out = f(*args, jnp.zeros(()), steps=steps)
+    jax.block_until_ready(out)
+    times = []
+    for rep in range(reps):
+        c0 = jnp.float32(1e-6 * (rep + 1))
+        t0 = time.perf_counter()
+        out = f(*args, c0, steps=steps)
+        float(jnp.asarray(out).ravel()[-1])
+        times.append((time.perf_counter() - t0) / steps)
+    return float(np.median(times))
+
+
+def measure_mxu(dim=4096, steps=32):
+    """Attainable bf16 matmul flops/s at a large square shape."""
+    a = jax.random.normal(jax.random.PRNGKey(0), (dim, dim), jnp.bfloat16)
+    b = jax.random.normal(jax.random.PRNGKey(1), (dim, dim), jnp.bfloat16)
+
+    def run(a, b, c0, steps):
+        def body(x, _):
+            return jnp.dot(x + c0.astype(jnp.bfloat16), b,
+                           preferred_element_type=jnp.bfloat16), ()
+        y, _ = jax.lax.scan(body, a, None, length=steps)
+        return y.astype(jnp.float32).sum()
+
+    dt = _timed(run, a, b, steps=steps)
+    return 2 * dim**3 / dt
+
+
+def measure_vpu(shape=(512, 4096), chain=256, steps=16):
+    """Attainable f32 elementwise flops/s: a long multiply-add chain over a
+    VMEM-resident tile (one HBM read/write per ``chain`` fused ops, so the
+    measurement is compute-bound)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+
+    def run(x, c0, steps):
+        def body(x, _):
+            y = x + c0
+            for i in range(chain):
+                y = y * np.float32(1.0000001) + np.float32(1e-7)
+            return y, ()
+        y, _ = jax.lax.scan(body, x, None, length=steps)
+        return y.sum()
+
+    dt = _timed(run, x, steps=steps)
+    # 2 flops per fused multiply-add.
+    return 2 * chain * np.prod(shape) / dt
+
+
+def measure_hbm(mb=512, steps=16):
+    """Attainable HBM stream bandwidth: elementwise scale of a large array
+    (read + write)."""
+    n = mb * 1024 * 1024 // 4
+    x = jnp.ones((n,), jnp.float32)
+
+    def run(x, c0, steps):
+        def body(x, _):
+            return x * (1. + c0 * 1e-6), ()
+        y, _ = jax.lax.scan(body, x, None, length=steps)
+        return y[:1]
+
+    dt = _timed(run, x, steps=steps)
+    return 2 * n * 4 / dt
+
+
+# ---------------------------------------------------------------------------
+# Analytic op counts — mirrors ops/fused._observe_kernel pass by pass.
+# ---------------------------------------------------------------------------
+
+def kernel_counts(L, R, B, A, S=3, want_seen=False, W=128):
+    """Per-(env, agent) work of one fused-observe program.
+
+    Counted against the kernel source (ops/fused.py): each entry is the number
+    of (L, R)-shaped elementwise VPU passes a line of the kernel costs. Cross-
+    sublane reductions over the L axis cost (L/8 - 1) row ops + 3 intra-tile
+    shuffle steps, i.e. (L/8 + 2) passes of (8, R) = (L + 16)/L of an (L, R)
+    pass. Divides are counted separately (multi-pass on the VPU).
+    """
+    red = (L + 16) / L          # one min-reduce over the L axis, in (L,R) units
+    vpu_lr = (
+        3        # uxv = vy*rux - vx*ruy
+        + 3      # t_num = pqx*ruy - pqy*rux
+        + 2      # distant = abs(uxv) < eps
+        + 7      # valid = ~distant & 0<=tq & tq<=1 & near<sq  (3 cmp, 1 not, 3 and)
+        + 1      # s_masked = where(valid, sq, inf)
+        + red    # s_min reduce
+        + 1      # eligible = s_masked < s_min + tol
+        + 1 + red  # idx = min(where(eligible, iota, L))
+        + 1      # found/idx0 bookkeeping at (L,R): onehot = iota_l == idx0
+        + 1 + red  # s_sel = min(where(onehot, sq, inf))
+        + 1 + red  # t_sel
+        + 1      # onehot.astype(f32) for the attrs dot
+    )
+    divides_lr = 2              # sq, tq true divides
+    # One-hot builds for the shade lookup, in (L, R)-pass units.
+    vpu_onehot = (2 * W + 2 * B) * R / (L * R)
+    # Per-ray (1, R) epilogue in the kernel (shade filter, lambert, writes):
+    # ~40 ops on (1, R) rows; count them in (L, R) units.
+    vpu_rays = 40 * R / (L * R)
+    if want_seen:
+        vpu_rays += 10 * R / (L * R)          # tex index chain
+        vpu_onehot += (2 * W + B) * R / (L * R)  # lo/hi seen masks
+    vpu_passes = vpu_lr + vpu_onehot + vpu_rays
+
+    # MXU work (useful flops, and "occupied" flops padding M to the 128 tile).
+    attr_flops = 6 * 2 * 4 * L * R            # f32 HIGHEST = 6 bf16 passes
+    attr_occupied = 6 * 2 * 128 * max(L, 128) * R
+    shade_flops = S * 2 * (B * 8) * W * R
+    shade_occupied = S * 2 * max(B * 8, 128) * W * R
+    seen_flops = 2 * B * W * R if want_seen else 0
+    seen_occupied = 2 * max(B, 8) * W * R if want_seen else 0
+    return dict(
+        vpu_lr_elems=vpu_passes * L * R,
+        div_elems=divides_lr * L * R,
+        mxu_flops=attr_flops + shade_flops + seen_flops,
+        mxu_occupied=attr_occupied + shade_occupied + seen_occupied,
+    )
+
+
+def kernel_hbm_bytes(N, A, L, R, B, S=3, want_seen=False, W=128,
+                     patch_rows=0):
+    """Per-step HBM traffic of the kernel: operand reads + output writes.
+    The table is read once per env block program (shared by A agents via the
+    scratch only when patched/split in-kernel; pre-split tables are re-read
+    per agent program unless the grid caches — count the conservative
+    once-per-(env, agent) for inputs that are per-program block specs, and
+    once per env for outputs written once)."""
+    lines_in = N * A * L * 4 * 4              # (1,E,L,4) f32 per agent program
+    attrs_in = N * A * 4 * L * 4
+    table_in = N * (A if patch_rows == 0 else 1) * S * B * 8 * W * 2  # bf16
+    patch_in = N * S * patch_rows * W * 2
+    out = N * A * R * (4 + 4 + 3 * 4)         # idx + dist + rgb
+    if want_seen:
+        out += N * A * B * W * 2              # bf16 seen
+    return lines_in + attrs_in + table_in + patch_in + out
+
+
+def env_shapes(kind, n_envs):
+    """Builds the bench env (floorplans) and returns its grouped shapes."""
+    from megastep_tpu import floorplans
+    from megastep_tpu.envs import Deathmatch, Explorer
+    if kind == 'deathmatch':
+        n_scenes = max(n_envs // 4, 1)
+        geoms = floorplans.sample(min(n_scenes, 512))
+        geoms = [geoms[i % len(geoms)] for i in range(n_scenes)]
+        env = Deathmatch(n_envs, n_agents=4, geometries=geoms, fused=True)
+    else:
+        geoms = floorplans.sample(min(n_envs, 512))
+        geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
+        env = Explorer(n_envs, geometries=geoms, fused=True)
+    return env
+
+
+def analytic(kind, env, step_ms, peaks):
+    """Prints the per-step analytic table for one env kind."""
+    c = env.core
+    A, R = c.n_agents, c.res
+    groups = env._groups or ((0, c.n_envs, env.core.scenery.lines.shape[1],
+                              env.core.scenery.baked.shape[1] // 128),)
+    want_seen = kind == 'explorer'
+    skip_dyn = getattr(env, '_skip_dyn', 0) or 0
+    nd = c.scenery.n_dynamic if kind == 'explorer' else 0
+    tot = dict(vpu_lr_elems=0., div_elems=0., mxu_flops=0., mxu_occupied=0.,
+               hbm=0.)
+    P = 0
+    if kind == 'deathmatch':
+        from megastep_tpu.ops import fused as fused_ops
+        P = len(fused_ops.dynamic_rows(c.scenery.n_dynamic_texels,
+                                       c.scenery.baked.shape[1]))
+    for (g0, g1, Lg, Bg) in groups:
+        n = g1 - g0
+        Leff = Lg - nd                         # Explorer skip-draw slices dyn
+        k = kernel_counts(Leff, R, Bg, A, want_seen=want_seen)
+        tot['vpu_lr_elems'] += n * A * k['vpu_lr_elems']
+        tot['div_elems'] += n * A * k['div_elems']
+        tot['mxu_flops'] += n * A * k['mxu_flops']
+        tot['mxu_occupied'] += n * A * k['mxu_occupied']
+        tot['hbm'] += kernel_hbm_bytes(n, A, Leff, R, Bg,
+                                       want_seen=want_seen,
+                                       patch_rows=P if kind == 'deathmatch' else 0)
+
+    t = step_ms * 1e-3
+    vpu_s = tot['vpu_lr_elems'] / peaks['vpu_ops']
+    div_s = tot['div_elems'] * peaks.get('div_cost', 8) / peaks['vpu_ops']
+    mxu_s = tot['mxu_occupied'] / peaks['mxu_flops']
+    hbm_s = tot['hbm'] / peaks['hbm_bytes']
+    print(f'\n== {kind} @ {env.n_envs} envs (A={A}, res={R}, '
+          f'{len(groups)} size buckets) ==')
+    print(f'  per-step useful MXU flops    : {tot["mxu_flops"]/1e9:8.1f} G '
+          f'(occupied w/ tile padding {tot["mxu_occupied"]/1e9:.1f} G)')
+    print(f'  per-step VPU (L,R) elems     : {tot["vpu_lr_elems"]/1e9:8.1f} G '
+          f'+ {tot["div_elems"]/1e9:.1f} G divides')
+    print(f'  per-step kernel HBM bytes    : {tot["hbm"]/1e6:8.0f} MB')
+    print(f'  analytic floor @ measured peaks: '
+          f'MXU {mxu_s*1e3:.2f} ms + VPU {vpu_s*1e3:.2f} ms '
+          f'+ div {div_s*1e3:.2f} ms + HBM {hbm_s*1e3:.2f} ms')
+    serial = mxu_s + vpu_s + div_s            # compute units don't overlap HBM? they do;
+    bound = max(serial, hbm_s)
+    if step_ms:
+        print(f'  measured step {step_ms:.2f} ms -> analytic compute floor '
+              f'{serial*1e3:.2f} ms = {100*serial/t:.0f}% of step '
+              f'(binding: {"compute" if serial > hbm_s else "HBM"})')
+    return tot
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--skip-peaks', action='store_true')
+    p.add_argument('--envs', type=int, default=16 * 1024)
+    p.add_argument('--step-ms-explorer', type=float, default=None,
+                   help='measured full-step ms at the Explorer config '
+                        '(from bench.py) to express the floor as % of step')
+    p.add_argument('--step-ms-deathmatch', type=float, default=None)
+    args = p.parse_args()
+
+    peaks = dict(mxu_flops=197e12, vpu_ops=5.9e12, hbm_bytes=819e9,
+                 div_cost=8)
+    if not args.skip_peaks:
+        peaks['mxu_flops'] = measure_mxu()
+        peaks['vpu_ops'] = measure_vpu() / 2   # flops -> elementwise ops
+        peaks['hbm_bytes'] = measure_hbm()
+    print('== measured attainable peaks (this chip, through the axon tunnel) ==')
+    print(f'  bf16 MXU matmul : {peaks["mxu_flops"]/1e12:.1f} Tflop/s')
+    print(f'  f32 VPU op rate : {peaks["vpu_ops"]/1e12:.2f} Tops/s '
+          f'(1 elementwise op per element-pass)')
+    print(f'  HBM stream      : {peaks["hbm_bytes"]/1e9:.0f} GB/s')
+
+    for kind, step_ms in (('explorer', args.step_ms_explorer),
+                          ('deathmatch', args.step_ms_deathmatch)):
+        env = env_shapes(kind, args.envs)
+        analytic(kind, env, step_ms or 0., peaks)
+
+
+if __name__ == '__main__':
+    main()
