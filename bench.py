@@ -67,7 +67,8 @@ def probe_backend(deadline_s=240):
 
 
 def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3,
-          draw_fused=False, obs_groups=None, mesh_devices=0):
+          draw_fused=False, obs_groups=None, mesh_devices=0, geom_size=None,
+          geom_depth=9):
     from megastep_tpu import floorplans
     from megastep_tpu.envs import Deathmatch, Explorer
     shard_mesh = None
@@ -77,17 +78,23 @@ def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3,
         # buckets — the exact multi-device program, on an N-device mesh.
         from megastep_tpu.parallel.mesh import mesh
         shard_mesh = mesh(mesh_devices)
+    geom_kw = {}
+    if geom_size:
+        # Cubicasa-scale scenes (200+ walls) through the PRODUCTION bucketed
+        # path — the VERDICT-r4 refresh of the old ungrouped 324k number.
+        geom_kw = dict(width=geom_size, height=geom_size,
+                       max_depth=geom_depth, stop=.02)
     if kind == 'deathmatch':
         # Reference Deathmatch bench: res 512, 4 agents/scene, agent-steps
         # accounting (docs/index.rst:19, deathmatch.py:44).
         n_scenes = max(n_envs // 4, 1)
-        geoms = floorplans.sample(min(n_scenes, 512))
+        geoms = floorplans.sample(min(n_scenes, 512), **geom_kw)
         geoms = [geoms[i % len(geoms)] for i in range(n_scenes)]
         return Deathmatch(n_envs, n_agents=4, geometries=geoms, res=res,
                           subsample=subsample, shade_splits=shade_splits,
                           draw_fused=draw_fused, obs_groups=obs_groups,
                           shard_mesh=shard_mesh)
-    geoms = floorplans.sample(min(n_envs, 512))
+    geoms = floorplans.sample(min(n_envs, 512), **geom_kw)
     geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
     return Explorer(n_envs, geometries=geoms, res=res, subsample=subsample,
                     shade_splits=shade_splits, obs_groups=obs_groups,
@@ -145,7 +152,8 @@ def run_kind(kind, args):
         env = build(n, res=res, kind=kind,
                     shade_splits=2 if args.fast else 3,
                     draw_fused=args.draw_fused, obs_groups=args.obs_groups,
-                    mesh_devices=args.mesh)
+                    mesh_devices=args.mesh, geom_size=args.geom_size,
+                    geom_depth=args.geom_depth)
         return bench(env, steps=args.steps)
 
     n_envs = args.envs
@@ -215,6 +223,11 @@ def main():
                         'bucketing; default: the env\'s own default — 4 for '
                         'explorer, 16 for deathmatch). A/B knob for the '
                         'bucketing lever.')
+    p.add_argument('--geom-size', type=float, default=None,
+                   help='outer floorplan extent (m); ~35 with --geom-depth 9 '
+                        'gives cubicasa-scale (200+ wall) scenes. Default: '
+                        'the standard bench floorplans.')
+    p.add_argument('--geom-depth', type=int, default=9)
     args = p.parse_args()
 
     if args.draw_fused and args.kind == 'explorer':

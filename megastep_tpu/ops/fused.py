@@ -300,7 +300,10 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         uxv = vy * rux - vx * ruy                                      # (L, R)
         t_num = pqx * ruy - pqy * rux
 
-        distant = jnp.abs(uxv) < PARALLEL_EPS
+        # One >= compare instead of (< then ~): bit-identical (uxv is always
+        # finite — every input is — so the negation commutes with the compare)
+        # and one (L, R) pass cheaper.
+        not_distant = jnp.abs(uxv) >= PARALLEL_EPS
         if fast_div:
             # Opt-in: one reciprocal shared by both quotients — halves the
             # kernel's (L, R) divides (its costliest VPU op) at ~1-ulp drift
@@ -312,7 +315,7 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
             # True divisions — identical bits to render.raycast's s_num/safe
             # on every non-distant entry (safe == uxv there). Distant entries
             # divide by the raw near-zero uxv (±inf/NaN instead of the
-            # reference's masked inf) but are unobservable: ``~distant``
+            # reference's masked inf) but are unobservable: ``not_distant``
             # excludes them from ``valid`` (so s_masked is inf, as before)
             # and the one-hot only ever selects the found winner (a valid
             # line) or row 0 on a miss, whose junk is masked by ``found``
@@ -320,7 +323,7 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
             sq = s_num / uxv                                           # (L, R)
             tq = t_num / uxv
 
-        valid = ~distant & (0 <= tq) & (tq <= 1) & (near < sq)
+        valid = not_distant & (0 <= tq) & (tq <= 1) & (near < sq)
         s_masked = jnp.where(valid, sq, jnp.inf)
         s_min = jnp.min(s_masked, axis=0, keepdims=True)               # (1, R)
         # s_masked is inf on invalid lanes, so the tolerance test alone is the
@@ -334,9 +337,16 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         s_sel = jnp.min(jnp.where(onehot, sq, jnp.inf), axis=0, keepdims=True)
         t_sel = jnp.min(jnp.where(onehot, tq, jnp.inf), axis=0, keepdims=True)
 
-        # Winner attributes in one exact MXU product: (4, L) @ (L, R).
-        attr = jnp.dot(attrs_ref[0, e], onehot.astype(jnp.float32),
-                       preferred_element_type=jnp.float32, precision=HI)
+        # Winner attributes via exact bf16 MXU products: the one-hot is exact
+        # 0/1 in bf16, so only the attrs operand needs the 3-way mantissa
+        # split (:func:`_split3` — x == a1+a2+a3 exactly, and each component
+        # dot selects one column losslessly, so the f32 sum reconstructs the
+        # exact attrs value). Three bf16 passes where an f32 HIGHEST dot
+        # (which must split BOTH operands) costs six. The split itself is a
+        # (4, L) triviality.
+        onehot_bf = onehot.astype(jnp.bfloat16)
+        attr = sum(jnp.dot(ak, onehot_bf, preferred_element_type=jnp.float32)
+                   for ak in _split3(attrs_ref[0, e]))                 # (4, R)
         if draw_model:
             # The static attrs rows hold *unrotated* model directions for the
             # dynamic slots — read the winner's direction off the in-kernel
@@ -620,6 +630,49 @@ def observe(lines_now, attrs, table8, lines_width, angles, positions, res,
     return out
 
 
+#: Relative per-scene kernel cost of one shade table block vs one line row,
+#: for the bucket-cut optimizer: chip-measured at the res-512 Deathmatch
+#: shapes (raycast ≈ 5.5 ms at L=64, shade ≈ 4.5 ms at B=19 → ms-per-unit
+#: ratio ≈ 2.76). The DP optimum is flat in this weight, so one setting
+#: serves every config.
+_SHADE_WEIGHT = 2.76
+
+
+def _dp_cuts(block_l, block_t, n_groups):
+    """Optimal contiguous partition of size-sorted gran-blocks into exactly
+    ``n_groups`` groups, minimizing the padded kernel cost
+    ``Σ n_g · (Lpad(max lw) + _SHADE_WEIGHT · Bpad(max tw))`` — uniform cuts
+    leave ~3% of the kernel cost on the table at the bench's floorplan
+    distribution (measured offline, G16 @ 4,096 scenes). O(P²·G) numpy at
+    build time over P = N/gran positions.
+
+    :return: list of ``n_groups + 1`` cut indices in block units.
+    """
+    P = len(block_l)
+    G = n_groups
+    seg = np.full((P, P + 1), np.inf)
+    for i in range(P):
+        lm, tm = 0, 0
+        for j in range(i + 1, P + 1):
+            lm = max(lm, int(block_l[j - 1]))
+            tm = max(tm, int(block_t[j - 1]))
+            seg[i, j] = (j - i) * (-(-lm // 8) * 8
+                                   + _SHADE_WEIGHT * -(-tm // LO_WIDTH))
+    dp = np.full((G + 1, P + 1), np.inf)
+    dp[0, 0] = 0.
+    arg = np.zeros((G + 1, P + 1), np.int32)
+    for g in range(1, G + 1):
+        for j in range(g, P + 1):
+            c = dp[g - 1, :j] + seg[:j, j]
+            k = int(np.argmin(c))
+            dp[g, j] = c[k]
+            arg[g, j] = k
+    cuts = [P]
+    for g in range(G, 0, -1):
+        cuts.append(int(arg[g, cuts[-1]]))
+    return cuts[::-1]
+
+
 def size_groups(lines_width, tex_width, n_groups=4, gran=64):
     """Static size-bucket spec for :func:`observe_grouped`.
 
@@ -629,22 +682,29 @@ def size_groups(lines_width, tex_width, n_groups=4, gran=64):
     procedural floorplans, mean/max is ~0.57 for texels and ~0.76 for lines —
     i.e. nearly half the shade FLOPs are padding. With the env axis *sorted by
     texel count* (``scene.sort_by_size``), splitting it into contiguous groups
-    padded only to each group's own max removes most of that waste.
+    padded only to each group's own max removes most of that waste. Cut
+    positions are optimized by :func:`_dp_cuts` (cost-weighted, not uniform).
 
-    :param gran: group sizes stay multiples of this so the kernel's env-block
-        unroll divides each group; ``n_groups`` halves until it fits.
+    :param gran: cut positions stay multiples of this so the kernel's env-block
+        unroll divides each group; ``n_groups`` halves until ``n_groups * gran``
+        divides the batch.
     :return: tuple of ``(start, end, L_g, B_g)`` per group (empty ⇒ ungrouped).
     """
     lw, tw = np.asarray(lines_width), np.asarray(tex_width)
     N, G = len(lw), n_groups
     while G > 1 and N % (G * gran):
         G //= 2
-    size = N // G
+    if G <= 1:
+        return ((0, N, int(-(-int(lw.max()) // 8) * 8),
+                 int(-(-int(tw.max()) // LO_WIDTH))),)
+    P = N // gran
+    cuts = _dp_cuts(lw[:P * gran].reshape(P, gran).max(1),
+                    tw[:P * gran].reshape(P, gran).max(1), G)
     return tuple(
-        (g0, g0 + size,
-         int(-(-int(lw[g0:g0 + size].max()) // 8) * 8),
-         int(-(-int(tw[g0:g0 + size].max()) // LO_WIDTH)))
-        for g0 in range(0, N, size))
+        (c0 * gran, c1 * gran,
+         int(-(-int(lw[c0 * gran:c1 * gran].max()) // 8) * 8),
+         int(-(-int(tw[c0 * gran:c1 * gran].max()) // LO_WIDTH)))
+        for c0, c1 in zip(cuts[:-1], cuts[1:]))
 
 
 def sharded_size_groups(lines_width, tex_width, n_shards, n_groups=4,
@@ -670,13 +730,22 @@ def sharded_size_groups(lines_width, tex_width, n_shards, n_groups=4,
     G = n_groups
     while G > 1 and n_local % (G * gran):
         G //= 2
-    gsz = n_local // G
+    if G <= 1:
+        return ((0, n_local, int(-(-int(lw.max()) // 8) * 8),
+                 int(-(-int(tw.max()) // LO_WIDTH))),)
+    # Per-local-gran-block maxima over the UNION of every shard's rows (the
+    # padding each local group really pays), then the same cost-weighted DP
+    # cut optimizer as :func:`size_groups`.
+    P = n_local // gran
+    bl = lw.reshape(n_shards, P, gran).max((0, 2))
+    bt = tw.reshape(n_shards, P, gran).max((0, 2))
+    cuts = _dp_cuts(bl, bt, G)
     out = []
-    for g in range(G):
-        rows = np.concatenate([np.arange(s * n_local + g * gsz,
-                                         s * n_local + (g + 1) * gsz)
+    for c0, c1 in zip(cuts[:-1], cuts[1:]):
+        rows = np.concatenate([np.arange(s * n_local + c0 * gran,
+                                         s * n_local + c1 * gran)
                                for s in range(n_shards)])
-        out.append((g * gsz, (g + 1) * gsz,
+        out.append((c0 * gran, c1 * gran,
                     int(-(-int(lw[rows].max()) // 8) * 8),
                     int(-(-int(tw[rows].max()) // LO_WIDTH))))
     return tuple(out)

@@ -27,6 +27,11 @@ def main():
     p.add_argument('--env-block', type=int, default=None)
     p.add_argument('--which', default='both', choices=['both', 'split', 'fused'])
     p.add_argument('--no-seen', action='store_true')
+    p.add_argument('--shade-splits', type=int, default=3,
+                   help='bf16 table components per shade lookup (3 = exact '
+                        'f32). An MXU-share ablation: each component is one '
+                        'bf16 MXU pass, so 3 -> 1 removes 2/3 of the shade '
+                        'dot cost (output inexact — timing probe only).')
     p.add_argument('--fast-div', action='store_true',
                    help='reciprocal-multiply raycast (~1 ulp s/t drift)')
     p.add_argument('--draw-mode', default='xla',
@@ -63,7 +68,7 @@ def main():
     T = scn.baked.shape[1]
     print(f'N={args.envs} A={args.agents} res={args.res} L={L} T={T}')
 
-    table8 = fused.split_table8(fused.pack_table8(scn))
+    table8 = fused.split_table8(fused.pack_table8(scn), splits=args.shade_splits)
 
     def split_step(scn, agents, carry, _):
         ag = type(agents)(angles=agents.angles + carry, positions=agents.positions,

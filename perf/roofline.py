@@ -46,55 +46,83 @@ def _timed(fn, *args, steps=32, reps=4):
 
 
 def measure_mxu(dim=4096, steps=32):
-    """Attainable bf16 matmul flops/s at a large square shape."""
+    """Attainable bf16 matmul flops/s at a large square shape (a dependent
+    matmul chain — each 4096³ product has ample internal parallelism, so the
+    dependency does not stall the systolic array)."""
     a = jax.random.normal(jax.random.PRNGKey(0), (dim, dim), jnp.bfloat16)
     b = jax.random.normal(jax.random.PRNGKey(1), (dim, dim), jnp.bfloat16)
 
     def run(a, b, c0, steps):
         def body(x, _):
-            return jnp.dot(x + c0.astype(jnp.bfloat16), b,
-                           preferred_element_type=jnp.bfloat16), ()
-        y, _ = jax.lax.scan(body, a, None, length=steps)
+            return jnp.dot(x, b, preferred_element_type=jnp.bfloat16), ()
+        y, _ = jax.lax.scan(body, a + c0.astype(jnp.bfloat16), None,
+                            length=steps)
         return y.astype(jnp.float32).sum()
 
     dt = _timed(run, a, b, steps=steps)
     return 2 * dim**3 / dt
 
 
-def measure_vpu(shape=(512, 4096), chain=256, steps=16):
-    """Attainable f32 elementwise flops/s: a long multiply-add chain over a
-    VMEM-resident tile (one HBM read/write per ``chain`` fused ops, so the
-    measurement is compute-bound)."""
-    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+def measure_vpu(L=256, R=512, chain=256, E=8, n=64, steps=16):
+    """Attainable f32 elementwise op rate, measured INSIDE a Pallas kernel at
+    the observe kernel's own working shapes — ``chain`` multiplies over an
+    (L, R) VMEM tile, ``E`` envs per program. An XLA elementwise chain is the
+    wrong probe (fused loops process register chunks serially down the chain,
+    so a dependent chain is latency-bound — the first two versions of this
+    measured 6-13× under what the observe kernel demonstrably achieves).
+
+    Returns element-ops/s (1 op = one f32 multiply over one element)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, o_ref):
+        for e in range(E):
+            y = x_ref[0, e]
+            # Two interleaved multiply chains: enough ILP to pipeline, still
+            # serially dependent so nothing folds away.
+            a = y * np.float32(1.0000001)
+            b = y * np.float32(0.9999999)
+            for _ in range(chain // 2 - 1):
+                a = a * np.float32(1.0000001)
+                b = b * np.float32(0.9999999)
+            o_ref[0, e] = a + b
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, E, L, R), jnp.float32)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, E, L, R), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, E, L, R), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, E, L, R), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024))
 
     def run(x, c0, steps):
-        def body(x, _):
-            y = x + c0
-            for i in range(chain):
-                y = y * np.float32(1.0000001) + np.float32(1e-7)
-            return y, ()
-        y, _ = jax.lax.scan(body, x, None, length=steps)
+        def body(y, _):
+            return call(y), ()
+        y, _ = jax.lax.scan(body, x * (1. + c0), None, length=steps)
         return y.sum()
 
     dt = _timed(run, x, steps=steps)
-    # 2 flops per fused multiply-add.
-    return 2 * chain * np.prod(shape) / dt
+    return chain * n * E * L * R / dt
 
 
 def measure_hbm(mb=512, steps=16):
-    """Attainable HBM stream bandwidth: elementwise scale of a large array
-    (read + write)."""
+    """Attainable HBM stream bandwidth: elementwise scale of a large 2-D
+    array (read + write per scan step)."""
     n = mb * 1024 * 1024 // 4
-    x = jnp.ones((n,), jnp.float32)
+    x = jnp.ones((4096, n // 4096), jnp.float32)
 
     def run(x, c0, steps):
         def body(x, _):
             return x * (1. + c0 * 1e-6), ()
         y, _ = jax.lax.scan(body, x, None, length=steps)
-        return y[:1]
+        return y[:1, :1]
 
     dt = _timed(run, x, steps=steps)
-    return 2 * n * 4 / dt
+    return 2 * x.size * 4 / dt
 
 
 # ---------------------------------------------------------------------------
