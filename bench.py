@@ -68,7 +68,7 @@ def probe_backend(deadline_s=240):
 
 def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3,
           draw_fused=False, obs_groups=None, mesh_devices=0, geom_size=None,
-          geom_depth=9):
+          geom_depth=9, obs_cuts='dp'):
     from megastep_tpu import floorplans
     from megastep_tpu.envs import Deathmatch, Explorer
     shard_mesh = None
@@ -93,12 +93,12 @@ def build(n_envs, res=256, subsample=4, kind='explorer', shade_splits=3,
         return Deathmatch(n_envs, n_agents=4, geometries=geoms, res=res,
                           subsample=subsample, shade_splits=shade_splits,
                           draw_fused=draw_fused, obs_groups=obs_groups,
-                          shard_mesh=shard_mesh)
+                          shard_mesh=shard_mesh, obs_cuts=obs_cuts)
     geoms = floorplans.sample(min(n_envs, 512), **geom_kw)
     geoms = [geoms[i % len(geoms)] for i in range(n_envs)]
     return Explorer(n_envs, geometries=geoms, res=res, subsample=subsample,
                     shade_splits=shade_splits, obs_groups=obs_groups,
-                    shard_mesh=shard_mesh)
+                    shard_mesh=shard_mesh, obs_cuts=obs_cuts)
 
 
 def bench(env, steps=64, reps=3):
@@ -153,7 +153,7 @@ def run_kind(kind, args):
                     shade_splits=2 if args.fast else 3,
                     draw_fused=args.draw_fused, obs_groups=args.obs_groups,
                     mesh_devices=args.mesh, geom_size=args.geom_size,
-                    geom_depth=args.geom_depth)
+                    geom_depth=args.geom_depth, obs_cuts=args.cuts)
         return bench(env, steps=args.steps)
 
     n_envs = args.envs
@@ -228,6 +228,9 @@ def main():
                         'gives cubicasa-scale (200+ wall) scenes. Default: '
                         'the standard bench floorplans.')
     p.add_argument('--geom-depth', type=int, default=9)
+    p.add_argument('--cuts', choices=['dp', 'uniform'], default='dp',
+                   help='bucket-cut placement A/B: the DP cost optimizer '
+                        '(default) vs uniform N/G groups')
     args = p.parse_args()
 
     if args.draw_fused and args.kind == 'explorer':

@@ -54,7 +54,7 @@ class Deathmatch:
     def __init__(self, n_envs, n_agents=4, geometries=None, subsample=4,
                  fused=None, obs_groups=None, sort_scenes=True, shade_splits=3,
                  draw_fused=False, pad_to=None, random=None, shard_mesh=None,
-                 shard_axis='env', obs_group_spec=None, obs_gran=64, **kwargs):
+                 shard_axis='env', obs_group_spec=None, obs_gran=64, obs_cuts='dp', **kwargs):
         n_scenes = max(n_envs // n_agents, 1)
         geometries = cubicasa.sample(n_scenes) if geometries is None else geometries
         # shard_mesh: run the fused observe (and the bucketed re-bake) under
@@ -131,11 +131,11 @@ class Deathmatch:
             elif shard_mesh is not None:
                 self._groups = fused_ops.sharded_size_groups(
                     scenery.lines_width, scenery.tex_width, n_shards,
-                    n_groups=G, gran=obs_gran)
+                    n_groups=G, gran=obs_gran, method=obs_cuts)
             else:
                 self._groups = fused_ops.size_groups(
                     scenery.lines_width, scenery.tex_width, n_groups=G,
-                    gran=obs_gran)
+                    gran=obs_gran, method=obs_cuts)
             rows = None
             if shard_mesh is not None and len(self._groups) > 1:
                 n_local = self._groups[-1][1]

@@ -39,7 +39,7 @@ class Explorer:
     def __init__(self, n_envs, geometries=None, subsample=4, fused=None,
                  pad_to=None, random=None, obs_groups=None, sort_scenes=True,
                  shade_splits=3, shard_mesh=None, shard_axis='env',
-                 obs_group_spec=None, obs_gran=64, **kwargs):
+                 obs_group_spec=None, obs_gran=64, obs_cuts='dp', **kwargs):
         geometries = cubicasa.sample(n_envs) if geometries is None else geometries
         # shard_mesh: run the fused observe under jax.shard_map over this
         # mesh, env axis split on shard_axis — the production multi-device
@@ -83,11 +83,11 @@ class Explorer:
             elif shard_mesh is not None:
                 self._groups = fused_ops.sharded_size_groups(
                     scenery.lines_width, scenery.tex_width, n_shards,
-                    n_groups=G, gran=obs_gran)
+                    n_groups=G, gran=obs_gran, method=obs_cuts)
             else:
                 self._groups = fused_ops.size_groups(
                     scenery.lines_width, scenery.tex_width, n_groups=G,
-                    gran=obs_gran)
+                    gran=obs_gran, method=obs_cuts)
             # Mesh layout: pre-sliced static inputs gather each shard's local
             # group block so an env-axis sharding hands every device its own
             # rows (ops.fused.shard_group_rows).

@@ -16,9 +16,9 @@ Layout choices (each measured; see PERF.md):
     layout pads lanes 48→128 (2.7× more registers per op); (L, R) is dense.
   * per-line scalars are (L, 1) columns, per-ray scalars are (1, R) rows, so
     every (L, R) product is a natural broadcast with no relayouts.
-  * the winner line's static attributes (direction, texel start/width) are read
-    off with ONE (4, L) @ (L, R) MXU product against the line one-hot (exact at
-    ``Precision.HIGHEST``) instead of four masked reductions.
+  * the winner line's static attributes (direction, texel start/width) are
+    read off with exact bf16 (4, L) @ (L, R) MXU products against the line
+    one-hot instead of four masked reductions.
   * texel lookups are **hierarchical**: a flat (T, R) one-hot build costs
     T·R/1024 vector registers of compares (≈1 µs/env at T=2304 — it dominated
     the v1 kernel). Splitting the texel index as ``t = b·128 + w`` needs only a
@@ -334,8 +334,6 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         idx0 = jnp.where(found, idx, 0)
 
         onehot = (iota_l == idx0)                                      # (L, R)
-        s_sel = jnp.min(jnp.where(onehot, sq, jnp.inf), axis=0, keepdims=True)
-        t_sel = jnp.min(jnp.where(onehot, tq, jnp.inf), axis=0, keepdims=True)
 
         # Winner attributes via exact bf16 MXU products: the one-hot is exact
         # 0/1 in bf16, so only the attrs operand needs the 3-way mantissa
@@ -347,6 +345,12 @@ def _observe_kernel(res, env_block, n_blocks, half_screen_width, agent_radius,
         onehot_bf = onehot.astype(jnp.bfloat16)
         attr = sum(jnp.dot(ak, onehot_bf, preferred_element_type=jnp.float32)
                    for ak in _split3(attrs_ref[0, e]))                 # (4, R)
+        # Direct masked selection of the winner's s/t. (Re-deriving them from
+        # dot-selected endpoints — s = ((ax-px)·vy − (ay-py)·vx)/uxv_sel at
+        # (1, R) — was bit-identical but chip-measured a 2.4% LOSS at the
+        # Deathmatch bench config; see PERF.md negative results.)
+        s_sel = jnp.min(jnp.where(onehot, sq, jnp.inf), axis=0, keepdims=True)
+        t_sel = jnp.min(jnp.where(onehot, tq, jnp.inf), axis=0, keepdims=True)
         if draw_model:
             # The static attrs rows hold *unrotated* model directions for the
             # dynamic slots — read the winner's direction off the in-kernel
@@ -673,7 +677,7 @@ def _dp_cuts(block_l, block_t, n_groups):
     return cuts[::-1]
 
 
-def size_groups(lines_width, tex_width, n_groups=4, gran=64):
+def size_groups(lines_width, tex_width, n_groups=4, gran=64, method='dp'):
     """Static size-bucket spec for :func:`observe_grouped`.
 
     Floorplan batches pad every env to the global max line/texel count, but the
@@ -688,6 +692,9 @@ def size_groups(lines_width, tex_width, n_groups=4, gran=64):
     :param gran: cut positions stay multiples of this so the kernel's env-block
         unroll divides each group; ``n_groups`` halves until ``n_groups * gran``
         divides the batch.
+    :param method: ``'dp'`` (cost-weighted cut optimizer, the default) or
+        ``'uniform'`` (equal N/G groups — the pre-round-5 behavior, kept as
+        the A/B baseline: ``bench.py --cuts uniform``).
     :return: tuple of ``(start, end, L_g, B_g)`` per group (empty ⇒ ungrouped).
     """
     lw, tw = np.asarray(lines_width), np.asarray(tex_width)
@@ -698,8 +705,11 @@ def size_groups(lines_width, tex_width, n_groups=4, gran=64):
         return ((0, N, int(-(-int(lw.max()) // 8) * 8),
                  int(-(-int(tw.max()) // LO_WIDTH))),)
     P = N // gran
-    cuts = _dp_cuts(lw[:P * gran].reshape(P, gran).max(1),
-                    tw[:P * gran].reshape(P, gran).max(1), G)
+    if method == 'uniform':
+        cuts = list(range(0, P + 1, P // G))
+    else:
+        cuts = _dp_cuts(lw[:P * gran].reshape(P, gran).max(1),
+                        tw[:P * gran].reshape(P, gran).max(1), G)
     return tuple(
         (c0 * gran, c1 * gran,
          int(-(-int(lw[c0 * gran:c1 * gran].max()) // 8) * 8),
@@ -708,7 +718,7 @@ def size_groups(lines_width, tex_width, n_groups=4, gran=64):
 
 
 def sharded_size_groups(lines_width, tex_width, n_shards, n_groups=4,
-                        gran=64):
+                        gran=64, method='dp'):
     """Per-shard-LOCAL size buckets for a shard-major, striped-sorted env axis
     (:func:`megastep_tpu.scene.striped_order`): device shard ``s`` holds envs
     ``[s*n_local, (s+1)*n_local)``, each internally size-sorted; local group
@@ -737,9 +747,12 @@ def sharded_size_groups(lines_width, tex_width, n_shards, n_groups=4,
     # padding each local group really pays), then the same cost-weighted DP
     # cut optimizer as :func:`size_groups`.
     P = n_local // gran
-    bl = lw.reshape(n_shards, P, gran).max((0, 2))
-    bt = tw.reshape(n_shards, P, gran).max((0, 2))
-    cuts = _dp_cuts(bl, bt, G)
+    if method == 'uniform':
+        cuts = list(range(0, P + 1, P // G))
+    else:
+        bl = lw.reshape(n_shards, P, gran).max((0, 2))
+        bt = tw.reshape(n_shards, P, gran).max((0, 2))
+        cuts = _dp_cuts(bl, bt, G)
     out = []
     for c0, c1 in zip(cuts[:-1], cuts[1:]):
         rows = np.concatenate([np.arange(s * n_local + c0 * gran,

@@ -1,20 +1,27 @@
 """Roofline / MFU accounting for the fused observe kernel and the train step.
 
-PERF.md's appendix is generated from this script (VERDICT r4 #6): it
-(a) MEASURES this chip's attainable peaks — bf16 MXU matmul flops, f32 VPU
-    elementwise ops, HBM stream bandwidth — with the same scan/fetch timing
-    hygiene as the other perf scripts (axon tunnel: vary inputs per rep,
-    force a device->host fetch in the timed region, median of reps);
-(b) COUNTS the fused kernel's per-step work analytically from its shapes
+PERF.md's appendix is generated from this script (VERDICT r4 #6):
+(a) COUNTS the fused kernel's per-step work analytically from its shapes
     (pass-by-pass over ``ops/fused._observe_kernel``'s (L, R) chain — the
     count is code, so a reviewer can re-derive it against the kernel source);
-(c) combines both with a measured step time into "% of binding roofline" for
-    the kernel and an MFU-style figure for the whole step.
+(b) divides by PUBLISHED TPU v5e peaks (bf16 MXU 197 Tflop/s, HBM 819 GB/s;
+    VPU ~4 Tops/s f32 derived from the (8,128)x4-ALU layout) into per-unit
+    floors. The compute units and the HBM DMAs run CONCURRENTLY inside the
+    kernel, so the binding floor is max(MXU, VPU, HBM), with the sum as a
+    no-overlap upper bound;
+(c) optionally (--measure) runs peak microbenches on the chip. Treat those
+    as LOWER BOUNDS on attainable: a dependent-chain XLA probe is latency-
+    bound (6-13x under what the kernel itself sustains — see
+    EXPERIMENTS.md trap #6), the Pallas VPU probe and the matmul chain both
+    read ~40-55% of spec through the axon tunnel, and the measured
+    shade-component cost (fbS1/fbS3b ablation) implies a rate ABOVE the
+    matmul-chain reading — the microbenches bound the chip from below, the
+    spec from above.
 
 Usage::
 
-    python perf/roofline.py                 # peaks + Explorer@16k + DM@16k
-    python perf/roofline.py --skip-peaks    # analytic tables only
+    python perf/roofline.py                 # analytic tables @ spec peaks
+    python perf/roofline.py --measure       # also run the peak microbenches
 """
 import argparse
 import os
@@ -137,13 +144,17 @@ def kernel_counts(L, R, B, A, S=3, want_seen=False, W=128):
     sublane reductions over the L axis cost (L/8 - 1) row ops + 3 intra-tile
     shuffle steps, i.e. (L/8 + 2) passes of (8, R) = (L + 16)/L of an (L, R)
     pass. Divides are counted separately (multi-pass on the VPU).
+
+    MXU occupancy: Mosaic pads the M (sublane) axis of a matmul to 8-row
+    granularity, not to the 128 tile — chip-measured: the shade dot's
+    per-component cost at M=152 tracks the useful flops, not a 256-row pad.
     """
     red = (L + 16) / L          # one min-reduce over the L axis, in (L,R) units
     vpu_lr = (
         3        # uxv = vy*rux - vx*ruy
         + 3      # t_num = pqx*ruy - pqy*rux
-        + 2      # distant = abs(uxv) < eps
-        + 7      # valid = ~distant & 0<=tq & tq<=1 & near<sq  (3 cmp, 1 not, 3 and)
+        + 2      # not_distant = abs(uxv) >= eps
+        + 6      # valid = not_distant & 0<=tq & tq<=1 & near<sq (3 cmp, 3 and)
         + 1      # s_masked = where(valid, sq, inf)
         + red    # s_min reduce
         + 1      # eligible = s_masked < s_min + tol
@@ -151,7 +162,7 @@ def kernel_counts(L, R, B, A, S=3, want_seen=False, W=128):
         + 1      # found/idx0 bookkeeping at (L,R): onehot = iota_l == idx0
         + 1 + red  # s_sel = min(where(onehot, sq, inf))
         + 1 + red  # t_sel
-        + 1      # onehot.astype(f32) for the attrs dot
+        + 1      # onehot.astype(bf16) for the attrs dots
     )
     divides_lr = 2              # sq, tq true divides
     # One-hot builds for the shade lookup, in (L, R)-pass units.
@@ -164,11 +175,12 @@ def kernel_counts(L, R, B, A, S=3, want_seen=False, W=128):
         vpu_onehot += (2 * W + B) * R / (L * R)  # lo/hi seen masks
     vpu_passes = vpu_lr + vpu_onehot + vpu_rays
 
-    # MXU work (useful flops, and "occupied" flops padding M to the 128 tile).
-    attr_flops = 6 * 2 * 4 * L * R            # f32 HIGHEST = 6 bf16 passes
-    attr_occupied = 6 * 2 * 128 * max(L, 128) * R
+    # MXU work: useful flops, and "occupied" padding M up to 8 sublanes
+    # (the attrs dot is 3 exact bf16 component passes since round 5).
+    attr_flops = 3 * 2 * 4 * L * R
+    attr_occupied = 3 * 2 * 8 * L * R
     shade_flops = S * 2 * (B * 8) * W * R
-    shade_occupied = S * 2 * max(B * 8, 128) * W * R
+    shade_occupied = shade_flops            # B*8 is already 8-aligned
     seen_flops = 2 * B * W * R if want_seen else 0
     seen_occupied = 2 * max(B, 8) * W * R if want_seen else 0
     return dict(
@@ -242,32 +254,37 @@ def analytic(kind, env, step_ms, peaks):
                                        patch_rows=P if kind == 'deathmatch' else 0)
 
     t = step_ms * 1e-3
-    vpu_s = tot['vpu_lr_elems'] / peaks['vpu_ops']
-    div_s = tot['div_elems'] * peaks.get('div_cost', 8) / peaks['vpu_ops']
+    vpu_s = (tot['vpu_lr_elems']
+             + tot['div_elems'] * peaks.get('div_cost', 8)) / peaks['vpu_ops']
     mxu_s = tot['mxu_occupied'] / peaks['mxu_flops']
     hbm_s = tot['hbm'] / peaks['hbm_bytes']
+    floor = max(mxu_s, vpu_s, hbm_s)          # units run concurrently
+    serial = mxu_s + vpu_s + hbm_s            # no-overlap upper bound
+    binding = max((mxu_s, 'MXU'), (vpu_s, 'VPU'), (hbm_s, 'HBM'))[1]
     print(f'\n== {kind} @ {env.n_envs} envs (A={A}, res={R}, '
           f'{len(groups)} size buckets) ==')
     print(f'  per-step useful MXU flops    : {tot["mxu_flops"]/1e9:8.1f} G '
-          f'(occupied w/ tile padding {tot["mxu_occupied"]/1e9:.1f} G)')
+          f'(occupied w/ 8-sublane padding {tot["mxu_occupied"]/1e9:.1f} G)')
     print(f'  per-step VPU (L,R) elems     : {tot["vpu_lr_elems"]/1e9:8.1f} G '
           f'+ {tot["div_elems"]/1e9:.1f} G divides')
     print(f'  per-step kernel HBM bytes    : {tot["hbm"]/1e6:8.0f} MB')
-    print(f'  analytic floor @ measured peaks: '
-          f'MXU {mxu_s*1e3:.2f} ms + VPU {vpu_s*1e3:.2f} ms '
-          f'+ div {div_s*1e3:.2f} ms + HBM {hbm_s*1e3:.2f} ms')
-    serial = mxu_s + vpu_s + div_s            # compute units don't overlap HBM? they do;
-    bound = max(serial, hbm_s)
+    print(f'  per-unit times @ spec peaks  : MXU {mxu_s*1e3:.2f} ms | '
+          f'VPU(+div) {vpu_s*1e3:.2f} ms | HBM {hbm_s*1e3:.2f} ms')
+    print(f'  roofline floor (max, units overlap) {floor*1e3:.2f} ms; '
+          f'no-overlap bound {serial*1e3:.2f} ms; binding unit: {binding}')
     if step_ms:
-        print(f'  measured step {step_ms:.2f} ms -> analytic compute floor '
-              f'{serial*1e3:.2f} ms = {100*serial/t:.0f}% of step '
-              f'(binding: {"compute" if serial > hbm_s else "HBM"})')
+        print(f'  measured step {step_ms:.2f} ms -> {100*floor/t:.0f}% of '
+              f'the overlap floor, {100*serial/t:.0f}% of the no-overlap '
+              f'bound; kernel MFU {100*tot["mxu_flops"]/peaks["mxu_flops"]/t:.1f}%')
     return tot
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--skip-peaks', action='store_true')
+    p.add_argument('--measure', action='store_true',
+                   help='run the on-chip peak microbenches (reported as '
+                        'lower bounds on attainable; default: published '
+                        'v5e spec peaks)')
     p.add_argument('--envs', type=int, default=16 * 1024)
     p.add_argument('--step-ms-explorer', type=float, default=None,
                    help='measured full-step ms at the Explorer config '
@@ -275,17 +292,20 @@ def main():
     p.add_argument('--step-ms-deathmatch', type=float, default=None)
     args = p.parse_args()
 
-    peaks = dict(mxu_flops=197e12, vpu_ops=5.9e12, hbm_bytes=819e9,
+    peaks = dict(mxu_flops=197e12, vpu_ops=4e12, hbm_bytes=819e9,
                  div_cost=8)
-    if not args.skip_peaks:
-        peaks['mxu_flops'] = measure_mxu()
-        peaks['vpu_ops'] = measure_vpu() / 2   # flops -> elementwise ops
-        peaks['hbm_bytes'] = measure_hbm()
-    print('== measured attainable peaks (this chip, through the axon tunnel) ==')
+    print('== peaks used (PUBLISHED v5e spec; VPU derived from the '
+          '(8,128)x4-ALU layout) ==')
     print(f'  bf16 MXU matmul : {peaks["mxu_flops"]/1e12:.1f} Tflop/s')
     print(f'  f32 VPU op rate : {peaks["vpu_ops"]/1e12:.2f} Tops/s '
           f'(1 elementwise op per element-pass)')
     print(f'  HBM stream      : {peaks["hbm_bytes"]/1e9:.0f} GB/s')
+    if args.measure:
+        print('== measured microbench rates (LOWER BOUNDS on attainable '
+              'through the axon tunnel — see module docstring) ==')
+        print(f'  bf16 MXU matmul chain : {measure_mxu()/1e12:.1f} Tflop/s')
+        print(f'  f32 VPU Pallas chain  : {measure_vpu()/1e12:.2f} Tops/s')
+        print(f'  HBM stream            : {measure_hbm()/1e9:.0f} GB/s')
 
     for kind, step_ms in (('explorer', args.step_ms_explorer),
                           ('deathmatch', args.step_ms_deathmatch)):

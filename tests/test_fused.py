@@ -753,3 +753,29 @@ def test_fast_div_close_to_exact():
                                np.asarray(fast.distances), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(exact.screen),
                                np.asarray(fast.screen), rtol=1e-4, atol=1e-6)
+
+
+def test_winner_selection_einsum_ulp_documented():
+    """Documents (and pins the scale of) a real numerics fact the round-5
+    session established: the jnp reference raycast computes uxv/t_num as
+    HIGHEST MXU einsums while the kernel uses VPU expressions, so kernel
+    distances sit within ~1 ULP of the reference rather than bit-equal
+    (indices — the hard invariant — stay exact; a re-derivation experiment
+    that tried to tighten this chip-measured a 2.4% loss and was reverted,
+    see PERF.md negative results)."""
+    scn, c, agents = _setup()
+    lines_now = render.draw(scn, agents)
+    want = _reference(scn, c, agents, lines_now)
+    got = fused.observe(
+        lines_now, fused.line_attrs(lines_now, scn),
+        fused.split_table8(fused.pack_table8(scn)),
+        scn.lines_width, agents.angles, agents.positions, c.res,
+        c.half_screen_width, c.agent_radius, want_seen=False,
+        env_block=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(want.indices),
+                                  np.asarray(got.indices))
+    w, g = np.asarray(want.distances), np.asarray(got.distances)
+    finite = np.isfinite(w)
+    np.testing.assert_array_equal(finite, np.isfinite(g))
+    rel = np.abs(w[finite] - g[finite]) / np.maximum(np.abs(w[finite]), 1e-30)
+    assert rel.max() < 1e-6, rel.max()   # ~a few ULP, not bit-equal
